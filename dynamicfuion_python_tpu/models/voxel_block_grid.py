@@ -1,0 +1,515 @@
+"""Sparse voxel-block TSDF volume with rigid and non-rigid integration.
+
+Capability parity with the reference's
+``cpp/geometry/VoxelBlockGrid.{h:48-285,cpp}`` (Open3D-derived hash TSDF:
+named attributes tsdf/weight/color, 16^3 blocks, unique-block discovery,
+rigid integrate, mesh extraction, save/load) and
+``cpp/geometry/NonRigidSurfaceVoxelBlockGrid.{h:28-64}`` +
+``kernel/NonRigidSurfaceVoxelBlockGridImpl.h:50-652``:
+``IntegrateNonRigid`` (per-voxel: camera-space anchors -> warp -> project ->
+PSDF -> weighted tsdf/color update), ``FindBlocksIntersectingTruncationRegion``
+(warp block corners, AABB-vs-depth conservative test) and
+``ActivateSleeveBlocks`` (1-ring neighbor allocation).
+
+TPU-native design notes:
+  - the pointer-based GPU hash map becomes a static-capacity SoA block table
+    + sorted-key index (see ``ops/voxel_block_hash.py``); activation is
+    sort/compact, not atomics;
+  - per-frame kernels are dense over a *padded active-block list* with
+    masking — no data-dependent shapes under jit;
+  - the reference kernel forgets to increment the integration weight
+    (``NonRigidSurfaceVoxelBlockGridImpl.h:200-205`` reads the weight but
+    never stores weight+1 — mid-refactor bug); we implement the documented
+    running-average intent: w' = w + 1.
+  - mesh extraction uses marching tetrahedra (``ops/marching_tetrahedra``)
+    over blocks with +1 halos stitched from neighbor blocks.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dynamicfuion_python_tpu.ops import voxel_block_hash as vbh
+from dynamicfuion_python_tpu.ops.anchors import compute_anchors_euclidean
+from dynamicfuion_python_tpu.ops.camera import project_points, transform_points
+from dynamicfuion_python_tpu.ops.marching_tetrahedra import marching_tetrahedra
+from dynamicfuion_python_tpu.ops.warp import blend_warp
+
+
+@flax.struct.dataclass
+class VoxelBlockGrid:
+    """Static-capacity sparse TSDF volume (canonical/reference frame)."""
+
+    slot_keys: jnp.ndarray  # int32[Cap] packed block coords; EMPTY_KEY = free
+    sorted_keys: jnp.ndarray  # int32[Cap]
+    slot_of_sorted: jnp.ndarray  # int32[Cap]
+    tsdf: jnp.ndarray  # f32[Cap, R, R, R]
+    weight: jnp.ndarray  # f32[Cap, R, R, R]
+    color: jnp.ndarray  # f32[Cap, R, R, R, 3]
+    voxel_size: float = flax.struct.field(pytree_node=False, default=0.004)
+    block_resolution: int = flax.struct.field(pytree_node=False, default=8)
+    sdf_truncation_distance: float = flax.struct.field(
+        pytree_node=False, default=0.02
+    )
+    depth_scale: float = flax.struct.field(pytree_node=False, default=1000.0)
+    depth_max: float = flax.struct.field(pytree_node=False, default=3.0)
+
+    # -- construction ---------------------------------------------------------
+
+    @classmethod
+    def create(
+        cls,
+        capacity: int = 2048,
+        voxel_size: float = 0.004,
+        block_resolution: int = 8,
+        sdf_truncation_distance: float = 0.02,
+        depth_scale: float = 1000.0,
+        depth_max: float = 3.0,
+    ) -> "VoxelBlockGrid":
+        r = block_resolution
+        keys = jnp.full((capacity,), vbh.EMPTY_KEY, jnp.int32)
+        return cls(
+            slot_keys=keys,
+            sorted_keys=keys,
+            slot_of_sorted=jnp.arange(capacity, dtype=jnp.int32),
+            tsdf=jnp.zeros((capacity, r, r, r), jnp.float32),
+            weight=jnp.zeros((capacity, r, r, r), jnp.float32),
+            color=jnp.zeros((capacity, r, r, r, 3), jnp.float32),
+            voxel_size=float(voxel_size),
+            block_resolution=int(block_resolution),
+            sdf_truncation_distance=float(sdf_truncation_distance),
+            depth_scale=float(depth_scale),
+            depth_max=float(depth_max),
+        )
+
+    @property
+    def capacity(self) -> int:
+        return self.slot_keys.shape[0]
+
+    def occupied_mask(self) -> jnp.ndarray:
+        return self.slot_keys != vbh.EMPTY_KEY
+
+    def occupied_count(self) -> jnp.ndarray:
+        return jnp.sum(self.occupied_mask())
+
+    def block_side(self) -> float:
+        return self.block_resolution * self.voxel_size
+
+    # -- block discovery & activation ----------------------------------------
+
+    def compute_unique_block_coordinates(
+        self,
+        depth: jnp.ndarray,
+        intrinsics: jnp.ndarray,
+        extrinsics: jnp.ndarray | None = None,
+        stride: int = 4,
+    ) -> jnp.ndarray:
+        """Packed keys of blocks touched by the depth frame's truncation band.
+
+        For strided valid pixels, the 27 blocks around the surface point (a
+        cube of half-size = truncation distance) are marked — the same
+        conservative band Open3D's ``compute_unique_block_coordinates`` uses.
+        Returns padded unique keys (EMPTY_KEY tail).
+        """
+        from dynamicfuion_python_tpu.ops.camera import unproject_depth_image
+
+        points, mask = unproject_depth_image(
+            depth, intrinsics, self.depth_scale, self.depth_max
+        )
+        points = points[::stride, ::stride].reshape(-1, 3)
+        mask = mask[::stride, ::stride].reshape(-1)
+        if extrinsics is not None:
+            # camera -> world: invert extrinsics
+            inv = jnp.linalg.inv(extrinsics)
+            points = transform_points(points, inv)
+        trunc = self.sdf_truncation_distance
+        offsets = jnp.asarray(
+            [
+                [dx, dy, dz]
+                for dx in (-trunc, 0.0, trunc)
+                for dy in (-trunc, 0.0, trunc)
+                for dz in (-trunc, 0.0, trunc)
+            ],
+            jnp.float32,
+        )
+        cand = points[:, None, :] + offsets[None, :, :]
+        blocks = jnp.floor(cand / self.block_side()).astype(jnp.int32)
+        keys = vbh.pack_block_keys(blocks).reshape(-1)
+        keys = jnp.where(jnp.repeat(mask, 27), keys, vbh.EMPTY_KEY)
+        unique, _ = vbh.unique_keys_padded(keys)
+        return unique
+
+    def activate(self, candidate_keys: jnp.ndarray) -> "VoxelBlockGrid":
+        """Insert novel blocks (padded EMPTY_KEY entries ignored); in-place
+        slots are stable, new blocks land in free slots in deterministic
+        order. Silently drops candidates beyond capacity (check
+        ``occupied_count`` against capacity at the call site)."""
+        unique, _ = vbh.unique_keys_padded(candidate_keys)
+        _, found = vbh.lookup(self.sorted_keys, self.slot_of_sorted, unique)
+        novel = jnp.where(
+            (unique != vbh.EMPTY_KEY) & ~found, unique, vbh.EMPTY_KEY
+        )
+        # compact novel keys to the front
+        novel_sorted = jnp.sort(novel)
+        n_novel = jnp.sum(novel_sorted != vbh.EMPTY_KEY)
+        # free slots in ascending slot order
+        free = self.slot_keys == vbh.EMPTY_KEY
+        free_rank = jnp.cumsum(free) - 1  # rank of each free slot
+        take = free & (free_rank < n_novel)
+        # for slot i taken: assign novel_sorted[free_rank[i]]
+        assigned = novel_sorted[jnp.clip(free_rank, 0, self.capacity - 1)]
+        new_slot_keys = jnp.where(take, assigned, self.slot_keys)
+        sorted_keys, slot_of_sorted = vbh.build_sorted_index(new_slot_keys)
+        return self.replace(
+            slot_keys=new_slot_keys,
+            sorted_keys=sorted_keys,
+            slot_of_sorted=slot_of_sorted,
+        )
+
+    def find_block_slots(self, keys: jnp.ndarray):
+        return vbh.lookup(self.sorted_keys, self.slot_of_sorted, keys)
+
+    def block_coordinates(self) -> jnp.ndarray:
+        """int32[Cap, 3] block coords (garbage where unoccupied — mask!)."""
+        return vbh.unpack_block_keys(self.slot_keys)
+
+    # -- voxel coordinate helpers --------------------------------------------
+
+    def _voxel_world_positions(self, slots: jnp.ndarray) -> jnp.ndarray:
+        """f32[S, R, R, R, 3] world positions of voxel centers for slots."""
+        r = self.block_resolution
+        coords = vbh.unpack_block_keys(self.slot_keys[slots])  # [S, 3]
+        ii = jax.lax.broadcasted_iota(jnp.int32, (r, r, r), 0)
+        jj = jax.lax.broadcasted_iota(jnp.int32, (r, r, r), 1)
+        kk = jax.lax.broadcasted_iota(jnp.int32, (r, r, r), 2)
+        local = jnp.stack([ii, jj, kk], axis=-1)  # [R, R, R, 3]
+        global_voxels = (
+            coords[:, None, None, None, :] * r + local[None]
+        ).astype(jnp.float32)
+        return global_voxels * self.voxel_size
+
+    # -- rigid integration ----------------------------------------------------
+
+    def integrate(
+        self,
+        depth: jnp.ndarray,
+        intrinsics: jnp.ndarray,
+        extrinsics: jnp.ndarray | None = None,
+        color: jnp.ndarray | None = None,
+    ) -> "VoxelBlockGrid":
+        """Rigid TSDF fusion over all occupied blocks (Open3D ``integrate``
+        semantics: psdf = depth - z, normalized by truncation, running
+        weighted average)."""
+        slots = jnp.arange(self.capacity)
+        occupied = self.occupied_mask()
+        return self._integrate_impl(
+            slots, occupied, depth, intrinsics, extrinsics, color,
+            warp=None,
+        )
+
+    # -- non-rigid integration -----------------------------------------------
+
+    def integrate_non_rigid(
+        self,
+        block_slots: jnp.ndarray,
+        block_slots_valid: jnp.ndarray,
+        warp_field,
+        depth: jnp.ndarray,
+        intrinsics: jnp.ndarray,
+        extrinsics: jnp.ndarray | None = None,
+        color: jnp.ndarray | None = None,
+        normals: jnp.ndarray | None = None,
+    ) -> "VoxelBlockGrid":
+        """Non-rigid fusion through the warp field over the given block list
+        (mirrors ``IntegrateNonRigid``; ``block_slots`` comes from
+        ``find_blocks_intersecting_truncation_region``).
+
+        ``normals``: f32[H, W, 3] target normal map for the oblique-angle
+        rejection test (``cosine > 0.5`` discard, Impl.h:190-196).
+        """
+        return self._integrate_impl(
+            block_slots,
+            block_slots_valid,
+            depth,
+            intrinsics,
+            extrinsics,
+            color,
+            warp=warp_field,
+            normals=normals,
+        )
+
+    def _integrate_impl(
+        self,
+        slots,
+        slots_valid,
+        depth,
+        intrinsics,
+        extrinsics,
+        color,
+        warp,
+        normals=None,
+    ) -> "VoxelBlockGrid":
+        r = self.block_resolution
+        h, w = depth.shape
+        trunc = self.sdf_truncation_distance
+
+        world = self._voxel_world_positions(slots)  # [S, R,R,R, 3]
+        flat = world.reshape(-1, 3)
+        if extrinsics is not None:
+            cam = transform_points(flat, extrinsics)
+        else:
+            cam = flat
+
+        if warp is not None:
+            anchors, weights, anchor_valid = warp.compute_anchors(cam)
+            warped = blend_warp(
+                cam,
+                warp.node_positions,
+                warp.node_rotations,
+                warp.node_translations,
+                anchors,
+                weights,
+            )
+        else:
+            anchor_valid = jnp.ones(cam.shape[:1], bool)
+            warped = cam
+
+        uv, in_front = project_points(warped, intrinsics)
+        u = jnp.round(uv[..., 0]).astype(jnp.int32)
+        v = jnp.round(uv[..., 1]).astype(jnp.int32)
+        in_bounds = (u >= 0) & (u < w) & (v >= 0) & (v < h)
+        u_safe = jnp.clip(u, 0, w - 1)
+        v_safe = jnp.clip(v, 0, h - 1)
+
+        d = depth[v_safe, u_safe].astype(jnp.float32) / self.depth_scale
+        depth_ok = (d > 0.0) & (d <= self.depth_max)
+
+        psdf = d - warped[..., 2]
+
+        update = (
+            anchor_valid
+            & in_front
+            & in_bounds
+            & depth_ok
+            & (psdf > -trunc)
+        )
+        if normals is not None and warp is not None:
+            view_dir = -warped / jnp.maximum(
+                jnp.linalg.norm(warped, axis=-1, keepdims=True), 1e-12
+            )
+            nrm = normals[v_safe, u_safe]
+            cosine = jnp.sum(view_dir * nrm, axis=-1)
+            update = update & (cosine <= 0.5)
+
+        tsdf_new = jnp.minimum(psdf, trunc) / trunc
+
+        # gather -> update -> scatter per slot
+        shape_blocks = (slots.shape[0], r, r, r)
+        update = (update.reshape(shape_blocks)) & slots_valid[:, None, None, None]
+        tsdf_new = tsdf_new.reshape(shape_blocks)
+
+        old_tsdf = self.tsdf[slots]
+        old_weight = self.weight[slots]
+        inv_w = 1.0 / (old_weight + 1.0)
+        merged_tsdf = jnp.where(
+            update, (old_weight * old_tsdf + tsdf_new) * inv_w, old_tsdf
+        )
+        merged_weight = jnp.where(update, old_weight + 1.0, old_weight)
+
+        new_tsdf = self.tsdf.at[slots].set(merged_tsdf)
+        new_weight = self.weight.at[slots].set(merged_weight)
+
+        new_color = self.color
+        if color is not None:
+            sampled = color[v_safe, u_safe].astype(jnp.float32).reshape(
+                *shape_blocks, 3
+            )
+            old_color = self.color[slots]
+            merged_color = jnp.where(
+                update[..., None],
+                (old_weight[..., None] * old_color + sampled)
+                * inv_w[..., None],
+                old_color,
+            )
+            new_color = self.color.at[slots].set(merged_color)
+
+        return self.replace(tsdf=new_tsdf, weight=new_weight, color=new_color)
+
+    # -- block-frustum / truncation-region tests -------------------------------
+
+    def find_blocks_intersecting_truncation_region(
+        self,
+        depth: jnp.ndarray,
+        warp_field,
+        intrinsics: jnp.ndarray,
+        extrinsics: jnp.ndarray | None = None,
+        downsample: int = 16,
+    ) -> jnp.ndarray:
+        """bool[Cap]: occupied blocks whose *warped* extent may intersect the
+        depth frame's truncation band (conservative; mirrors
+        ``FindBlocksIntersectingTruncationRegion``: warp the 8 block corners,
+        take the AABB, compare against the depth range behind its pixel
+        footprint +- truncation)."""
+        r = self.block_resolution
+        side = self.block_side()
+        coords = self.block_coordinates().astype(jnp.float32)  # [Cap, 3]
+        corner_offsets = jnp.asarray(
+            [[i, j, k] for i in (0, 1) for j in (0, 1) for k in (0, 1)],
+            jnp.float32,
+        )
+        corners = (coords[:, None, :] + corner_offsets[None]) * side  # [Cap,8,3]
+        flat = corners.reshape(-1, 3)
+        if extrinsics is not None:
+            flat = transform_points(flat, extrinsics)
+        anchors, weights, _ = warp_field.compute_anchors(flat)
+        warped = blend_warp(
+            flat,
+            warp_field.node_positions,
+            warp_field.node_rotations,
+            warp_field.node_translations,
+            anchors,
+            weights,
+        ).reshape(-1, 8, 3)
+
+        uv, in_front = project_points(warped.reshape(-1, 3), intrinsics)
+        uv = uv.reshape(-1, 8, 2)
+        in_front = in_front.reshape(-1, 8)
+        zmin = jnp.min(warped[..., 2], axis=1)
+        zmax = jnp.max(warped[..., 2], axis=1)
+
+        h, w = depth.shape
+        # min/max depth mip at `downsample`
+        d = depth.astype(jnp.float32) / self.depth_scale
+        valid = (d > 0) & (d <= self.depth_max)
+        hp = (h + downsample - 1) // downsample * downsample
+        wp = (w + downsample - 1) // downsample * downsample
+        dmin_full = jnp.full((hp, wp), jnp.inf).at[:h, :w].set(
+            jnp.where(valid, d, jnp.inf)
+        )
+        dmax_full = jnp.zeros((hp, wp)).at[:h, :w].set(jnp.where(valid, d, 0.0))
+        ch, cw = hp // downsample, wp // downsample
+        dmin = dmin_full.reshape(ch, downsample, cw, downsample).min(axis=(1, 3))
+        dmax = dmax_full.reshape(ch, downsample, cw, downsample).max(axis=(1, 3))
+
+        # pixel AABB -> coarse-cell AABB, sampled on a static 4x4 grid
+        u0 = jnp.clip(jnp.min(uv[..., 0], axis=1) / downsample, 0, cw - 1)
+        u1 = jnp.clip(jnp.max(uv[..., 0], axis=1) / downsample, 0, cw - 1)
+        v0 = jnp.clip(jnp.min(uv[..., 1], axis=1) / downsample, 0, ch - 1)
+        v1 = jnp.clip(jnp.max(uv[..., 1], axis=1) / downsample, 0, ch - 1)
+        ts = jnp.linspace(0.0, 1.0, 4)
+        gu = (u0[:, None] + (u1 - u0)[:, None] * ts[None]).astype(jnp.int32)
+        gv = (v0[:, None] + (v1 - v0)[:, None] * ts[None]).astype(jnp.int32)
+        cell_min = dmin[gv[:, :, None], gu[:, None, :]].min(axis=(1, 2))
+        cell_max = dmax[gv[:, :, None], gu[:, None, :]].max(axis=(1, 2))
+
+        trunc = self.sdf_truncation_distance
+        overlap = (zmin - trunc <= cell_max) & (zmax + trunc >= cell_min)
+        on_screen = jnp.any(in_front, axis=1) & (cell_max > 0)
+        return self.occupied_mask() & overlap & on_screen
+
+    def activate_sleeve_blocks(
+        self, intersecting_mask: jnp.ndarray
+    ) -> "VoxelBlockGrid":
+        """Allocate the 1-ring (26-neighborhood) of flagged blocks
+        (``ActivateSleeveBlocks`` semantics)."""
+        coords = self.block_coordinates()
+        neighbor_offsets = jnp.asarray(
+            [
+                [dx, dy, dz]
+                for dx in (-1, 0, 1)
+                for dy in (-1, 0, 1)
+                for dz in (-1, 0, 1)
+            ],
+            jnp.int32,
+        )
+        cand = coords[:, None, :] + neighbor_offsets[None]
+        keys = vbh.pack_block_keys(cand).reshape(-1)
+        keys = jnp.where(
+            jnp.repeat(intersecting_mask, 27), keys, vbh.EMPTY_KEY
+        )
+        return self.activate(keys)
+
+    # -- extraction ------------------------------------------------------------
+
+    def _stitched_volumes(self):
+        """Per-block [R+1]^3 tsdf + validity with +1 halos gathered from the
+        7 positive-direction neighbor blocks."""
+        r = self.block_resolution
+        cap = self.capacity
+        coords = self.block_coordinates()
+
+        tsdf_p = jnp.zeros((cap, r + 1, r + 1, r + 1), jnp.float32)
+        valid_p = jnp.zeros((cap, r + 1, r + 1, r + 1), bool)
+        tsdf_p = tsdf_p.at[:, :r, :r, :r].set(self.tsdf)
+        valid_p = valid_p.at[:, :r, :r, :r].set(self.weight > 0)
+
+        def neighbor_data(offset):
+            keys = vbh.pack_block_keys(coords + jnp.asarray(offset, jnp.int32))
+            slots, found = self.find_block_slots(keys)
+            nb_tsdf = self.tsdf[slots]
+            nb_valid = (self.weight[slots] > 0) & found[:, None, None, None]
+            return nb_tsdf, nb_valid
+
+        # face neighbors
+        for axis, offset in enumerate(([1, 0, 0], [0, 1, 0], [0, 0, 1])):
+            nt, nv = neighbor_data(offset)
+            if axis == 0:
+                tsdf_p = tsdf_p.at[:, r, :r, :r].set(nt[:, 0])
+                valid_p = valid_p.at[:, r, :r, :r].set(nv[:, 0])
+            elif axis == 1:
+                tsdf_p = tsdf_p.at[:, :r, r, :r].set(nt[:, :, 0])
+                valid_p = valid_p.at[:, :r, r, :r].set(nv[:, :, 0])
+            else:
+                tsdf_p = tsdf_p.at[:, :r, :r, r].set(nt[:, :, :, 0])
+                valid_p = valid_p.at[:, :r, :r, r].set(nv[:, :, :, 0])
+        # edge neighbors
+        for offset, take, put in (
+            ([1, 1, 0], (0, 0, slice(None, r)), (r, r, slice(None, r))),
+            ([1, 0, 1], (0, slice(None, r), 0), (r, slice(None, r), r)),
+            ([0, 1, 1], (slice(None, r), 0, 0), (slice(None, r), r, r)),
+        ):
+            nt, nv = neighbor_data(offset)
+            tsdf_p = tsdf_p.at[(slice(None),) + put].set(
+                nt[(slice(None),) + take]
+            )
+            valid_p = valid_p.at[(slice(None),) + put].set(
+                nv[(slice(None),) + take]
+            )
+        # corner neighbor
+        nt, nv = neighbor_data([1, 1, 1])
+        tsdf_p = tsdf_p.at[:, r, r, r].set(nt[:, 0, 0, 0])
+        valid_p = valid_p.at[:, r, r, r].set(nv[:, 0, 0, 0])
+
+        valid_p = valid_p & self.occupied_mask()[:, None, None, None]
+        return tsdf_p, valid_p
+
+    def extract_triangle_soup(
+        self, max_triangles: int = 200_000
+    ) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """Zero-isosurface triangle soup f32[max_triangles, 3, 3] + count."""
+        tsdf_p, valid_p = self._stitched_volumes()
+        origins = (
+            self.block_coordinates().astype(jnp.float32)
+            * self.block_side()
+        )
+        return marching_tetrahedra(
+            tsdf_p, valid_p, origins, self.voxel_size, max_triangles
+        )
+
+    def extract_voxel_values_at(
+        self, voxel_coords: jnp.ndarray
+    ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """Probe tsdf/weight at global integer voxel coords int32[N, 3]
+        (mirrors ``ExtractVoxelValuesAt`` used by the reference's tests)."""
+        r = self.block_resolution
+        block = jnp.floor_divide(voxel_coords, r)
+        local = voxel_coords - block * r
+        slots, found = self.find_block_slots(vbh.pack_block_keys(block))
+        t = self.tsdf[slots, local[:, 0], local[:, 1], local[:, 2]]
+        w = self.weight[slots, local[:, 0], local[:, 1], local[:, 2]]
+        return jnp.where(found, t, 0.0), jnp.where(found, w, 0.0), found

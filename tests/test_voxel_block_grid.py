@@ -1,0 +1,259 @@
+"""TSDF voxel-block grid tests: hashing, activation, rigid + non-rigid
+integration, truncation-region search, marching-tetrahedra extraction.
+
+Mirrors the reference's synthetic-plane oracle strategy
+(``tests/shared/tsdf.py:8-45``, ``cpp/tests/test_non_rigid_surface_voxel_block_grid.cpp``
+probing via ``ExtractVoxelValuesAt``)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dynamicfuion_python_tpu.models.voxel_block_grid import VoxelBlockGrid
+from dynamicfuion_python_tpu.models.warp_field import WarpField
+from dynamicfuion_python_tpu.ops import voxel_block_hash as vbh
+
+INTRINSICS = jnp.asarray(
+    [[500.0, 0.0, 32.0], [0.0, 500.0, 24.0], [0.0, 0.0, 1.0]], jnp.float32
+)
+H, W = 48, 64
+
+
+def _plane_depth(z_m=1.0):
+    """Constant-depth plane filling the frame (depth in mm)."""
+    return jnp.full((H, W), int(z_m * 1000), jnp.uint16)
+
+
+def _fresh_grid(**kw):
+    defaults = dict(
+        capacity=512,
+        voxel_size=0.01,
+        block_resolution=8,
+        sdf_truncation_distance=0.04,
+    )
+    defaults.update(kw)
+    return VoxelBlockGrid.create(**defaults)
+
+
+class TestBlockHash:
+    def test_pack_unpack_round_trip(self, rng):
+        coords = rng.integers(-500, 500, size=(1000, 3)).astype(np.int32)
+        keys = vbh.pack_block_keys(jnp.asarray(coords))
+        back = np.asarray(vbh.unpack_block_keys(keys))
+        np.testing.assert_array_equal(back, coords)
+
+    def test_unique_keys_padded(self, rng):
+        keys = jnp.asarray([5, 3, 5, vbh.EMPTY_KEY, 3, 9], jnp.int32)
+        unique, count = vbh.unique_keys_padded(keys)
+        assert int(count) == 3
+        assert np.asarray(unique)[:3].tolist() == [3, 5, 9]
+        assert (np.asarray(unique)[3:] == int(vbh.EMPTY_KEY)).all()
+
+    def test_lookup(self, rng):
+        coords = np.unique(
+            rng.integers(-10, 10, size=(50, 3)).astype(np.int32), axis=0
+        )
+        n = len(coords)
+        cap = 64
+        slot_keys = np.full(cap, int(vbh.EMPTY_KEY), np.int32)
+        slot_keys[:n] = np.asarray(
+            vbh.pack_block_keys(jnp.asarray(coords))
+        )
+        sk, ss = vbh.build_sorted_index(jnp.asarray(slot_keys))
+        slots, found = vbh.lookup(sk, ss, jnp.asarray(slot_keys[:n]))
+        assert np.asarray(found).all()
+        np.testing.assert_array_equal(np.asarray(slots), np.arange(n))
+        _, missing = vbh.lookup(
+            sk, ss, vbh.pack_block_keys(jnp.asarray([[400, 400, 400]]))
+        )
+        assert not np.asarray(missing).any()
+
+
+class TestActivation:
+    def test_activate_and_grow(self):
+        grid = _fresh_grid()
+        keys = vbh.pack_block_keys(
+            jnp.asarray([[0, 0, 12], [1, 0, 12], [0, 0, 12]], jnp.int32)
+        )
+        padded = jnp.full((16,), vbh.EMPTY_KEY, jnp.int32).at[:3].set(keys)
+        grid = grid.activate(padded)
+        assert int(grid.occupied_count()) == 2
+        # re-activating the same keys is a no-op
+        grid2 = grid.activate(padded)
+        assert int(grid2.occupied_count()) == 2
+        # lookups find them
+        _, found = grid.find_block_slots(keys)
+        assert np.asarray(found).all()
+
+    def test_discovery_covers_plane(self):
+        grid = _fresh_grid()
+        keys = grid.compute_unique_block_coordinates(
+            _plane_depth(1.0), INTRINSICS, stride=2
+        )
+        grid = grid.activate(keys)
+        count = int(grid.occupied_count())
+        assert count > 0
+        # the block layer containing z=1.0 must be present
+        coords = np.asarray(grid.block_coordinates())[
+            np.asarray(grid.occupied_mask())
+        ]
+        z_blocks = set(coords[:, 2].tolist())
+        assert int(np.floor(1.0 / grid.block_side())) in z_blocks
+
+
+class TestRigidIntegration:
+    def test_plane_tsdf_profile(self):
+        grid = _fresh_grid()
+        depth = _plane_depth(1.0)
+        grid = grid.activate(
+            grid.compute_unique_block_coordinates(depth, INTRINSICS, stride=2)
+        )
+        grid = grid.integrate(depth, INTRINSICS)
+        # probe voxels along the central ray (u=32, v=24 -> x=y=0)
+        zs = np.arange(int(0.9 / 0.01), int(1.1 / 0.01))
+        probes = np.stack([np.zeros_like(zs), np.zeros_like(zs), zs], -1)
+        t, w, found = map(
+            np.asarray, grid.extract_voxel_values_at(jnp.asarray(probes, jnp.int32))
+        )
+        trunc = grid.sdf_truncation_distance
+        for z, ti, wi, fi in zip(zs, t, w, found):
+            psdf = 1.0 - z * 0.01
+            if not fi or psdf <= -trunc:
+                continue
+            if wi > 0:
+                expected = min(psdf, trunc) / trunc
+                assert abs(ti - expected) < 1e-3, (z, ti, expected)
+        # weight accumulates on the second integration
+        grid2 = grid.integrate(depth, INTRINSICS)
+        _, w2, _ = map(
+            np.asarray, grid2.extract_voxel_values_at(jnp.asarray(probes, jnp.int32))
+        )
+        assert (w2[w > 0] == w[w > 0] + 1).all()
+
+
+class TestNonRigidIntegration:
+    def _graph_over_plane(self):
+        xs, ys = np.meshgrid(np.linspace(-0.1, 0.1, 4), np.linspace(-0.08, 0.08, 4))
+        nodes = np.stack([xs.ravel(), ys.ravel(), np.ones(16)], -1).astype(
+            np.float32
+        )
+        return WarpField.create(
+            nodes,
+            node_coverage=0.1,
+            anchor_count=4,
+            minimum_valid_anchor_count=3,
+            threshold_nodes_by_distance=True,
+        )
+
+    def test_identity_warp_matches_rigid(self):
+        depth = _plane_depth(1.0)
+        field = self._graph_over_plane()
+
+        rigid = _fresh_grid()
+        keys = rigid.compute_unique_block_coordinates(depth, INTRINSICS, stride=2)
+        rigid = rigid.activate(keys)
+        nonrigid = _fresh_grid().activate(keys)
+
+        rigid = rigid.integrate(depth, INTRINSICS)
+
+        mask = nonrigid.find_blocks_intersecting_truncation_region(
+            depth, field, INTRINSICS
+        )
+        slots = jnp.arange(nonrigid.capacity)
+        nonrigid = nonrigid.integrate_non_rigid(
+            slots, mask, field, depth, INTRINSICS
+        )
+
+        # wherever the non-rigid path integrated, values must match the rigid
+        # result (identity warp); the non-rigid path may touch fewer voxels
+        # because of the anchor-threshold validity rule.
+        w_nr = np.asarray(nonrigid.weight)
+        w_r = np.asarray(rigid.weight)
+        t_nr = np.asarray(nonrigid.tsdf)
+        t_r = np.asarray(rigid.tsdf)
+        touched = w_nr > 0
+        assert touched.sum() > 1000
+        assert (w_r[touched] > 0).all()
+        np.testing.assert_allclose(t_nr[touched], t_r[touched], atol=1e-4)
+
+    def test_translated_warp_shifts_surface(self):
+        # warp field translates everything +2cm in z: the *canonical* surface
+        # voxels now project 2cm in front of the observed depth, so the zero
+        # crossing moves to canonical z = 0.98.
+        depth = _plane_depth(1.0)
+        field = self._graph_over_plane().translate_nodes(
+            jnp.broadcast_to(jnp.asarray([0.0, 0.0, 0.02]), (16, 3))
+        )
+        grid = _fresh_grid()
+        keys = grid.compute_unique_block_coordinates(depth, INTRINSICS, stride=2)
+        grid = grid.activate(keys)
+        mask = grid.find_blocks_intersecting_truncation_region(
+            depth, field, INTRINSICS
+        )
+        grid = grid.integrate_non_rigid(
+            jnp.arange(grid.capacity), mask, field, depth, INTRINSICS
+        )
+        zs = np.arange(94, 102)
+        probes = np.stack([np.zeros_like(zs), np.zeros_like(zs), zs], -1)
+        t, w, found = map(
+            np.asarray,
+            grid.extract_voxel_values_at(jnp.asarray(probes, jnp.int32)),
+        )
+        integrated = w > 0
+        assert integrated.any()
+        # zero crossing between canonical z=0.97 and z=0.99
+        t97 = t[zs == 97][0]
+        t99 = t[zs == 99][0]
+        assert t97 > 0 and t99 < 0
+
+    def test_sleeve_activation_adds_ring(self):
+        grid = _fresh_grid()
+        keys = vbh.pack_block_keys(jnp.asarray([[0, 0, 12]], jnp.int32))
+        grid = grid.activate(
+            jnp.full((4,), vbh.EMPTY_KEY, jnp.int32).at[0].set(keys[0])
+        )
+        mask = grid.occupied_mask()
+        grid = grid.activate_sleeve_blocks(mask)
+        assert int(grid.occupied_count()) == 27
+
+
+class TestExtraction:
+    def test_sphere_surface(self):
+        # analytic sphere SDF centered at origin, radius 0.2
+        grid = _fresh_grid(capacity=1024, voxel_size=0.01)
+        r_sphere = 0.2
+        # activate blocks covering [-0.3, 0.3]^3
+        rng_blocks = range(-4, 4)
+        coords = np.array(
+            [[i, j, k] for i in rng_blocks for j in rng_blocks for k in rng_blocks],
+            np.int32,
+        )
+        keys = vbh.pack_block_keys(jnp.asarray(coords))
+        padded = jnp.full((1024,), vbh.EMPTY_KEY, jnp.int32).at[: len(coords)].set(
+            keys
+        )
+        grid = grid.activate(padded)
+        # fill tsdf with the normalized sphere SDF at voxel centers
+        slots = jnp.arange(grid.capacity)
+        world = grid._voxel_world_positions(slots)
+        sdf = (jnp.linalg.norm(world, axis=-1) - r_sphere) / grid.sdf_truncation_distance
+        sdf = jnp.clip(sdf, -1.0, 1.0)
+        occ = grid.occupied_mask()[:, None, None, None]
+        grid = grid.replace(
+            tsdf=jnp.where(occ, sdf, 0.0),
+            weight=jnp.where(occ, 1.0, 0.0),
+        )
+        tris, count = grid.extract_triangle_soup(max_triangles=60_000)
+        count = int(count)
+        assert 0 < count < 60_000
+        tris = np.asarray(tris)[:count]
+        radii = np.linalg.norm(tris.reshape(-1, 3), axis=-1)
+        np.testing.assert_allclose(radii, r_sphere, atol=0.011)
+        # outward orientation: face normal must point away from the center
+        a, bb, c = tris[:, 0], tris[:, 1], tris[:, 2]
+        n = np.cross(bb - a, c - a)
+        centroid = tris.mean(axis=1)
+        dots = (n * centroid).sum(-1)
+        nonzero = np.linalg.norm(n, axis=-1) > 1e-12
+        assert (dots[nonzero] > 0).mean() > 0.99
