@@ -19,8 +19,9 @@ import functools
 import jax
 import jax.numpy as jnp
 
-#: padding value for unused output slots
-PAD_VALUE = jnp.float32(jnp.nan)
+#: padding value for unused output slots (plain Python float — a module-level
+#: jnp scalar would initialize the device backend at import time)
+PAD_VALUE = float("nan")
 
 
 def _cell_ids(points: jnp.ndarray, cell_size: float) -> jnp.ndarray:

@@ -20,7 +20,9 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-EMPTY_KEY = jnp.int32(2**31 - 1)
+# plain Python int — a module-level jnp scalar would initialize the device
+# backend at import time
+EMPTY_KEY = 2**31 - 1
 _BIAS = 512  # blocks per axis span [-512, 511]
 
 

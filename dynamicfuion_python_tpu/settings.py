@@ -1,0 +1,146 @@
+"""Typed parameter tree for the whole framework.
+
+Capability parity with the reference settings layer (``settings/*.py``:
+``Parameters.{path,model,device,training,deform_net,alignment,graph,fusion,tsdf}``
+built on ext_argparse) — same domains and parameter names where sensible,
+expressed as the dataclass tree from ``utils/config.py`` with YAML round-trip
+and dotted CLI overrides.
+"""
+
+from __future__ import annotations
+
+import enum
+from dataclasses import field
+
+from dynamicfuion_python_tpu.utils.config import config_node
+
+
+class GraphGenerationMode(enum.Enum):
+    """Reference ``settings/fusion.py`` ``GraphGenerationMode``."""
+
+    FIRST_FRAME_EXTRACTED_MESH = 0
+    FIRST_FRAME_DEPTH_IMAGE = 1
+    FIRST_FRAME_LOADED_GRAPH = 2
+
+
+class AnchorComputationMode(enum.Enum):
+    EUCLIDEAN = 0
+    SHORTEST_PATH = 1
+
+
+class TrackingSpanMode(enum.Enum):
+    ZERO_TO_T = 0
+    T_MINUS_ONE_TO_T = 1
+
+
+@config_node
+class TsdfConfig:
+    """Reference ``settings/tsdf.py``."""
+
+    voxel_size: float = 0.004
+    sdf_truncation_distance: float = 0.02
+    block_resolution: int = 8
+    initial_block_count: int = 2048  # here: fixed table capacity
+
+
+@config_node
+class GraphConfig:
+    """Reference ``settings/graph.py``."""
+
+    node_coverage: float = 0.05
+    erosion_num_iterations: int = 10
+    erosion_min_neighbors: int = 4
+    neighbor_count: int = 8
+    max_neighbor_count: int = 8
+    minimum_valid_anchor_count: int = 3
+    anchor_count: int = 4
+    layer_count: int = 4
+    max_vertex_degree: int = 4
+
+
+@config_node
+class AlignmentConfig:
+    """Reference ``settings/alignment.py`` + fitter params
+    (``DeformableMeshToImageFitter.h:30-129``)."""
+
+    max_iteration_count: int = 6
+    arap_term_weight: float = 20.0
+    use_tukey_penalty: bool = False
+    tukey_penalty_cutoff: float = 0.01
+    use_huber_penalty: bool = False
+    huber_penalty_constant: float = 0.0001
+    levenberg_marquardt_factor: float = 0.001
+    max_depth: float = 10.0
+    use_regularization: bool = True
+
+
+@config_node
+class FusionConfig:
+    """Reference ``settings/fusion.py``."""
+
+    depth_scale: float = 1000.0
+    far_clip_distance: float = 2.4
+    graph_generation_mode: GraphGenerationMode = (
+        GraphGenerationMode.FIRST_FRAME_EXTRACTED_MESH
+    )
+    pixel_anchor_computation_mode: AnchorComputationMode = (
+        AnchorComputationMode.EUCLIDEAN
+    )
+    tracking_span_mode: TrackingSpanMode = TrackingSpanMode.ZERO_TO_T
+    start_at_frame: int = 0
+    run_until_frame: int = -1
+    extraction_max_triangles: int = 400000
+
+
+@config_node
+class TelemetryConfig:
+    """Reference ``settings/fusion.py`` telemetry toggles
+    (``telemetry/telemetry_generator.py:26``)."""
+
+    output_directory: str = "output"
+    record_canonical_meshes: bool = True
+    record_warped_meshes: bool = True
+    record_frame_metrics: bool = True
+    print_frame_info: bool = False
+    print_runtime: bool = True
+
+
+@config_node
+class TrainingConfig:
+    """Reference ``settings/training.py`` (DeformNet training)."""
+
+    batch_size: int = 4
+    learning_rate: float = 1e-5
+    use_adam: bool = False
+    momentum: float = 0.9
+    weight_decay: float = 0.0
+    epochs: int = 10
+    shuffle: bool = True
+    gn_max_matches_train: int = 10000
+    gn_max_matches_eval: int = 10000
+
+
+@config_node
+class Parameters:
+    """Root of the tree (reference ``settings/__init__.py:20-48``)."""
+
+    tsdf: TsdfConfig = None  # type: ignore
+    graph: GraphConfig = None  # type: ignore
+    alignment: AlignmentConfig = None  # type: ignore
+    fusion: FusionConfig = None  # type: ignore
+    telemetry: TelemetryConfig = None  # type: ignore
+    training: TrainingConfig = None  # type: ignore
+
+    def __post_init__(self):
+        if self.tsdf is None:
+            self.tsdf = TsdfConfig()
+        if self.graph is None:
+            self.graph = GraphConfig()
+        if self.alignment is None:
+            self.alignment = AlignmentConfig()
+        if self.fusion is None:
+            self.fusion = FusionConfig()
+        if self.telemetry is None:
+            self.telemetry = TelemetryConfig()
+        if self.training is None:
+            self.training = TrainingConfig()

@@ -1,0 +1,107 @@
+"""Run telemetry: mesh/point-cloud recording (PLY), per-frame metrics.
+
+Capability parity with the reference ``telemetry/telemetry_generator.py:26-284``
+(timestamped output dir, toggled recorders for canonical/warped meshes,
+per-frame metadata, runtime prints) minus the interactive Open3D viewers.
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def write_ply_triangle_soup(path: str | Path, triangles: np.ndarray) -> None:
+    """Write a triangle soup f32[T, 3, 3] as a binary-little-endian PLY."""
+    tris = np.asarray(triangles, np.float32)
+    t = len(tris)
+    verts = tris.reshape(-1, 3)
+    faces = np.arange(3 * t, dtype=np.int32).reshape(-1, 3)
+    _write_ply(path, verts, faces)
+
+
+def write_ply_mesh(path: str | Path, vertices: np.ndarray, faces: np.ndarray) -> None:
+    _write_ply(path, np.asarray(vertices, np.float32), np.asarray(faces, np.int32))
+
+
+def _write_ply(path, verts, faces):
+    header = (
+        "ply\nformat binary_little_endian 1.0\n"
+        f"element vertex {len(verts)}\n"
+        "property float x\nproperty float y\nproperty float z\n"
+        f"element face {len(faces)}\n"
+        "property list uchar int vertex_indices\nend_header\n"
+    )
+    with open(path, "wb") as f:
+        f.write(header.encode())
+        f.write(verts.astype("<f4").tobytes())
+        face_block = np.empty((len(faces), 13), np.uint8)
+        face_block[:, 0] = 3
+        face_block[:, 1:] = faces.astype("<i4").view(np.uint8).reshape(-1, 12)
+        f.write(face_block.tobytes())
+
+
+def read_ply(path: str | Path) -> tuple[np.ndarray, np.ndarray]:
+    """Minimal reader for the files this module writes (tests/round-trip)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    header_end = data.index(b"end_header\n") + len(b"end_header\n")
+    header = data[:header_end].decode()
+    n_verts = int(header.split("element vertex ")[1].split("\n")[0])
+    n_faces = int(header.split("element face ")[1].split("\n")[0])
+    verts = np.frombuffer(
+        data, "<f4", count=n_verts * 3, offset=header_end
+    ).reshape(-1, 3)
+    face_bytes = np.frombuffer(
+        data,
+        np.uint8,
+        count=n_faces * 13,
+        offset=header_end + n_verts * 12,
+    ).reshape(-1, 13)
+    faces = face_bytes[:, 1:].copy().view("<i4").reshape(-1, 3)
+    return verts.copy(), faces
+
+
+class TelemetryRecorder:
+    """Per-run output directory with toggled recorders."""
+
+    def __init__(self, config, run_name: str | None = None):
+        self.config = config
+        stamp = run_name or time.strftime("%y-%m-%d-%H-%M-%S")
+        self.run_dir = Path(config.output_directory) / stamp
+        self.run_dir.mkdir(parents=True, exist_ok=True)
+        self.frame_metrics: list[dict] = []
+        self._start_time = time.perf_counter()
+
+    def record_meshes(self, frame_index: int, canonical=None, warped=None):
+        if canonical is not None and self.config.record_canonical_meshes:
+            write_ply_triangle_soup(
+                self.run_dir / f"{frame_index:06d}_canonical_mesh.ply", canonical
+            )
+        if warped is not None and self.config.record_warped_meshes:
+            write_ply_triangle_soup(
+                self.run_dir / f"{frame_index:06d}_warped_mesh.ply", warped
+            )
+
+    def record_frame(self, frame_index: int, **metrics):
+        entry = {"frame": frame_index, **metrics}
+        self.frame_metrics.append(entry)
+        if self.config.print_frame_info:
+            print(f"[frame {frame_index}] {metrics}")
+
+    def finish(self) -> dict:
+        total = time.perf_counter() - self._start_time
+        summary = {
+            "total_runtime_s": total,
+            "frame_count": len(self.frame_metrics),
+            "frames": self.frame_metrics,
+        }
+        if self.config.record_frame_metrics:
+            (self.run_dir / "metrics.json").write_text(json.dumps(summary, indent=1))
+        if self.config.print_runtime:
+            print(f"total runtime: {total:.2f} s for {len(self.frame_metrics)} frames")
+        return summary

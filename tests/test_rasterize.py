@@ -1,0 +1,239 @@
+"""Rasterizer tests, mirroring the reference contract that the naive and
+coarse-to-fine (binned) paths agree exactly (``cpp/tests/test_rasterize.cpp:134-566``)
+plus analytic plane/cube checks."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dynamicfuion_python_tpu.ops.interpolate import (
+    interpolate_face_attributes,
+    vertex_attributes_to_face,
+)
+from dynamicfuion_python_tpu.ops.rasterize import (
+    BG_DEPTH,
+    extract_face_vertices,
+    ndc_to_pixel,
+    pixel_to_ndc,
+    rasterize_binned,
+    rasterize_naive,
+)
+
+INTR = jnp.asarray(
+    [[100.0, 0.0, 32.0], [0.0, 100.0, 32.0], [0.0, 0.0, 1.0]], jnp.float32
+)
+SIZE = (64, 64)
+
+
+def _quad_mesh(z=1.0, half=0.2, dz0=0.0, dz1=0.0):
+    """Two triangles forming a square centered on the optical axis.
+
+    Counter-clockwise when viewed from the camera (-z toward viewer).
+    """
+    verts = np.array(
+        [
+            [-half, -half, z + dz0],
+            [half, -half, z],
+            [half, half, z + dz1],
+            [-half, half, z],
+        ],
+        np.float32,
+    )
+    tris = np.array([[0, 2, 1], [0, 3, 2]], np.int32)
+    return jnp.asarray(verts), jnp.asarray(tris)
+
+
+def _random_cloud_mesh(rng, n_faces=50, z0=0.8, z1=2.0):
+    verts = rng.uniform(-0.4, 0.4, size=(n_faces * 3, 3)).astype(np.float32)
+    verts[:, 2] = rng.uniform(z0, z1, size=n_faces * 3)
+    tris = np.arange(n_faces * 3, dtype=np.int32).reshape(-1, 3)
+    return jnp.asarray(verts), jnp.asarray(tris)
+
+
+class TestExtractFaceVertices:
+    def test_projection_and_clip(self):
+        verts, tris = _quad_mesh(z=1.0)
+        fv, valid = extract_face_vertices(verts, tris, INTR, SIZE)
+        assert np.asarray(valid).all()
+        # center vertex (-0.2, -0.2, 1) -> u = -0.2*100+32 = 12
+        np.testing.assert_allclose(np.asarray(fv)[0, 0], [12, 12, 1], atol=1e-5)
+        # push one vertex behind the near plane -> its faces are clipped
+        verts2 = verts.at[0, 2].set(0.01)
+        _, valid2 = extract_face_vertices(verts2, tris, INTR, SIZE)
+        assert not np.asarray(valid2)[0] and not np.asarray(valid2)[1]
+
+    def test_ndc_round_trip(self):
+        verts, tris = _quad_mesh()
+        fv, _ = extract_face_vertices(verts, tris, INTR, SIZE)
+        back = ndc_to_pixel(pixel_to_ndc(fv, SIZE), SIZE)
+        np.testing.assert_allclose(np.asarray(back), np.asarray(fv), atol=1e-4)
+
+
+class TestNaive:
+    def test_quad_coverage_and_depth(self):
+        verts, tris = _quad_mesh(z=1.0)
+        fv, valid = extract_face_vertices(verts, tris, INTR, SIZE)
+        frag = rasterize_naive(fv, valid, SIZE, faces_per_pixel=1)
+        fi = np.asarray(frag.face_indices)[..., 0]
+        d = np.asarray(frag.depths)[..., 0]
+        # quad covers pixels [12, 52) in both axes
+        assert (fi[20:45, 20:45] >= 0).all()
+        assert (fi[:10] == -1).all() and (fi[:, :10] == -1).all()
+        np.testing.assert_allclose(d[20:45, 20:45], 1.0, atol=1e-4)
+        # barycentrics sum to one where hit
+        b = np.asarray(frag.barycentrics)[..., 0, :]
+        np.testing.assert_allclose(b[fi >= 0].sum(-1), 1.0, atol=1e-5)
+        # inside fragments have negative signed distance
+        assert (np.asarray(frag.distances)[..., 0][fi >= 0] <= 0).all()
+
+    def test_depth_ordering_two_layers(self):
+        # two quads, nearer one should win k=0
+        v1, t1 = _quad_mesh(z=1.0)
+        v2, t2 = _quad_mesh(z=1.5)
+        verts = jnp.concatenate([v1, v2])
+        tris = jnp.concatenate([t1, t2 + 4])
+        fv, valid = extract_face_vertices(verts, tris, INTR, SIZE)
+        frag = rasterize_naive(fv, valid, SIZE, faces_per_pixel=2)
+        # (30, 36) is inside both quads but off their shared diagonal edge
+        center_d = np.asarray(frag.depths)[30, 36]
+        np.testing.assert_allclose(center_d, [1.0, 1.5], atol=1e-4)
+
+    def test_backface_culling(self):
+        verts, tris = _quad_mesh(z=1.0)
+        fv, valid = extract_face_vertices(verts, tris, INTR, SIZE)
+        on = rasterize_naive(fv, valid, SIZE, cull_back_faces=False)
+        cull = rasterize_naive(fv, valid, SIZE, cull_back_faces=True)
+        flipped = fv[:, ::-1, :]  # reverse winding
+        cull_flipped = rasterize_binned(flipped, valid, SIZE, cull_back_faces=True)
+        hit_on = (np.asarray(on.face_indices)[..., 0] >= 0).sum()
+        hit_cull = (np.asarray(cull.face_indices)[..., 0] >= 0).sum()
+        hit_cull_flipped = (
+            np.asarray(cull_flipped.face_indices)[..., 0] >= 0
+        ).sum()
+        assert hit_on > 0
+        # exactly one winding survives culling
+        assert {hit_cull, hit_cull_flipped} == {0, hit_on}
+
+    def test_perspective_correct_depth_on_slanted_face(self):
+        # slanted quad: dz across the face; perspective-correct depth at the
+        # pixel center must match ray-plane intersection
+        verts, tris = _quad_mesh(z=1.0, dz0=0.4)
+        fv, valid = extract_face_vertices(verts, tris, INTR, SIZE)
+        frag = rasterize_naive(
+            fv, valid, SIZE, faces_per_pixel=1, perspective_correct=True
+        )
+        d = np.asarray(frag.depths)[..., 0]
+        # analytic: plane through the 3 verts of face 0
+        a, b, c = np.asarray(verts)[np.asarray(tris)[0]]
+        n = np.cross(b - a, c - a)
+        for py, px in [(30, 30), (40, 25), (25, 40)]:
+            if np.asarray(frag.face_indices)[py, px, 0] != 0:
+                continue
+            ray = np.array([(px - 32) / 100, (py - 32) / 100, 1.0])
+            t_hit = np.dot(n, a) / np.dot(n, ray)
+            np.testing.assert_allclose(d[py, px], t_hit, rtol=1e-3)
+
+
+class TestBinnedMatchesNaive:
+    @pytest.mark.parametrize("k", [1, 4])
+    def test_random_soup(self, rng, k):
+        verts, tris = _random_cloud_mesh(rng, n_faces=80)
+        fv, valid = extract_face_vertices(verts, tris, INTR, SIZE)
+        kwargs = dict(faces_per_pixel=k, perspective_correct=True)
+        a = rasterize_naive(fv, valid, SIZE, **kwargs)
+        b = rasterize_binned(
+            fv, valid, SIZE, tile_size=16, max_faces_per_bin=128, **kwargs
+        )
+        np.testing.assert_array_equal(
+            np.asarray(a.face_indices), np.asarray(b.face_indices)
+        )
+        np.testing.assert_allclose(
+            np.asarray(a.depths), np.asarray(b.depths), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(a.barycentrics), np.asarray(b.barycentrics), atol=1e-5
+        )
+
+    def test_large_faces_route(self, rng):
+        # one screen-filling quad + small faces
+        big_v, big_t = _quad_mesh(z=2.0, half=1.2)
+        small_v, small_t = _random_cloud_mesh(rng, n_faces=30, z0=0.8, z1=1.5)
+        verts = jnp.concatenate([big_v, small_v])
+        tris = jnp.concatenate([big_t, small_t + 4])
+        fv, valid = extract_face_vertices(verts, tris, INTR, SIZE)
+        a = rasterize_naive(fv, valid, SIZE, faces_per_pixel=2)
+        b, overflow = rasterize_binned(
+            fv,
+            valid,
+            SIZE,
+            faces_per_pixel=2,
+            small_span=2,
+            max_large_faces=64,
+            return_overflow=True,
+        )
+        assert int(overflow["dropped_large_faces"]) == 0
+        assert int(overflow["dropped_bin_entries"]) == 0
+        fa = np.asarray(a.face_indices)
+        fb = np.asarray(b.face_indices)
+        # Pixels lying exactly on a shared edge (signed distance == 0) may
+        # legitimately differ between the two compiled programs (XLA fuses the
+        # edge tests differently, flipping an exact >=0); the fragments are
+        # equivalent there since both faces share the depth. Everything else
+        # must agree exactly.
+        on_edge = (np.abs(np.asarray(a.distances)) < 1e-6) | (
+            np.abs(np.asarray(b.distances)) < 1e-6
+        )
+        ambiguous = on_edge.any(-1)
+        np.testing.assert_array_equal(fa[~ambiguous], fb[~ambiguous])
+        np.testing.assert_allclose(
+            np.asarray(a.depths)[np.asarray(a.depths) < 1e30].min(),
+            np.asarray(b.depths)[np.asarray(b.depths) < 1e30].min(),
+        )
+
+    def test_overflow_is_reported(self, rng):
+        verts, tris = _random_cloud_mesh(rng, n_faces=40)
+        fv, valid = extract_face_vertices(verts, tris, INTR, SIZE)
+        _, overflow = rasterize_binned(
+            fv,
+            valid,
+            SIZE,
+            small_span=1,  # forces most faces onto the large path
+            max_large_faces=4,
+            return_overflow=True,
+        )
+        assert int(overflow["dropped_large_faces"]) > 0
+
+    def test_blur_radius(self, rng):
+        verts, tris = _quad_mesh(z=1.0)
+        fv, valid = extract_face_vertices(verts, tris, INTR, SIZE)
+        sharp = rasterize_binned(fv, valid, SIZE, blur_radius=0.0)
+        blurred = rasterize_binned(fv, valid, SIZE, blur_radius=3.0)
+        hits_sharp = (np.asarray(sharp.face_indices)[..., 0] >= 0).sum()
+        hits_blur = (np.asarray(blurred.face_indices)[..., 0] >= 0).sum()
+        assert hits_blur > hits_sharp
+        # naive agrees under blur too
+        nb = rasterize_naive(fv, valid, SIZE, blur_radius=3.0)
+        np.testing.assert_array_equal(
+            np.asarray(nb.face_indices), np.asarray(blurred.face_indices)
+        )
+
+
+class TestInterpolate:
+    def test_color_interpolation(self):
+        verts, tris = _quad_mesh(z=1.0)
+        colors = jnp.asarray(
+            [[1, 0, 0], [0, 1, 0], [0, 0, 1], [1, 1, 0]], jnp.float32
+        )
+        fv, valid = extract_face_vertices(verts, tris, INTR, SIZE)
+        frag = rasterize_naive(fv, valid, SIZE, perspective_correct=False)
+        face_attrs = vertex_attributes_to_face(colors, tris)
+        out = interpolate_face_attributes(
+            frag.face_indices, frag.barycentrics, face_attrs
+        )
+        img = np.asarray(out)[..., 0, :]
+        fi = np.asarray(frag.face_indices)[..., 0]
+        # all interpolated colors are convex combinations
+        assert img[fi >= 0].min() >= -1e-5 and img[fi >= 0].max() <= 1 + 1e-5
+        assert (img[fi == -1] == 0).all()
+        # near vertex 0's pixel (12, 12): color ~ red
+        assert img[13, 13, 0] > 0.9
