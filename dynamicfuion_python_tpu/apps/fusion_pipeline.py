@@ -82,6 +82,10 @@ class FusionPipeline:
         self.warp_field: HierarchicalGraphWarpField | None = None
         self.canonical_vertices: jnp.ndarray | None = None
         self.canonical_triangles: jnp.ndarray | None = None
+        # cumulative camera pose: maps canonical(frame-0) camera space ->
+        # current camera space; updated by rigid odometry each frame
+        self.extrinsics = jnp.eye(4)
+        self.previous_depth: jnp.ndarray | None = None
         a = params.alignment
         self.fitter_config = FitterConfig(
             max_iterations=a.max_iteration_count,
@@ -166,13 +170,42 @@ class FusionPipeline:
     def process_frame(self, depth: np.ndarray, color: np.ndarray | None) -> dict:
         p = self.params
         depth_j = jnp.asarray(depth)
+
+        # RIGID stage: frame-to-frame point-to-plane ICP accumulates the
+        # camera pose; observations are expressed in the canonical camera
+        # frame before the non-rigid fit.
+        rigid_rmse = 0.0
+        if p.alignment.use_rigid_alignment and self.previous_depth is not None:
+            from dynamicfuion_python_tpu.ops.rigid_odometry import (
+                rigid_odometry_multi_scale,
+            )
+
+            delta, rmse = rigid_odometry_multi_scale(
+                self.previous_depth,
+                depth_j,
+                self.intrinsics,
+                depth_scale=p.fusion.depth_scale,
+                depth_max=p.fusion.far_clip_distance,
+            )
+            self.extrinsics = delta @ self.extrinsics
+            rigid_rmse = float(rmse)
+        self.previous_depth = depth_j
+
         points, mask = unproject_depth_image(
             depth_j,
             self.intrinsics,
             p.fusion.depth_scale,
             p.fusion.far_clip_distance,
         )
-        normals = point_image_normals(points)
+        if p.alignment.use_rigid_alignment:
+            from dynamicfuion_python_tpu.ops.camera import transform_points
+
+            inv = jnp.linalg.inv(self.extrinsics)
+            points = jnp.where(
+                mask[..., None],
+                transform_points(points.reshape(-1, 3), inv).reshape(points.shape),
+                0.0,
+            )
 
         self.warp_field, diagnostics = fit_to_image(
             self.warp_field,
@@ -184,15 +217,26 @@ class FusionPipeline:
             self.fitter_config,
         )
 
+        ext = (
+            self.extrinsics if p.alignment.use_rigid_alignment else None
+        )
         intersecting = self.volume.find_blocks_intersecting_truncation_region(
-            depth_j, self.warp_field, self.intrinsics
+            depth_j, self.warp_field, self.intrinsics,
+            post_warp_extrinsics=ext,
         )
         self.volume = self.volume.activate_sleeve_blocks(intersecting)
         intersecting = self.volume.find_blocks_intersecting_truncation_region(
-            depth_j, self.warp_field, self.intrinsics
+            depth_j, self.warp_field, self.intrinsics,
+            post_warp_extrinsics=ext,
         )
         color_j = (
             jnp.asarray(color, jnp.float32) / 255.0 if color is not None else None
+        )
+        # normal map for the oblique-angle test is in the current camera
+        # frame; recompute from the untransformed observation
+        raw_points, _ = unproject_depth_image(
+            depth_j, self.intrinsics, p.fusion.depth_scale,
+            p.fusion.far_clip_distance,
         )
         self.volume = self.volume.integrate_non_rigid(
             jnp.arange(self.volume.capacity),
@@ -201,13 +245,15 @@ class FusionPipeline:
             depth_j,
             self.intrinsics,
             color=color_j,
-            normals=normals,
+            normals=point_image_normals(raw_points),
+            post_warp_extrinsics=ext,
         )
         self._refresh_canonical_mesh()
         return {
             "data_loss": [float(x) for x in diagnostics["data_loss"]],
             "arap_loss": [float(x) for x in diagnostics["arap_loss"]],
             "active_blocks": int(jnp.sum(intersecting)),
+            "rigid_rmse": rigid_rmse,
         }
 
     def warped_mesh_soup(self) -> np.ndarray:
@@ -226,12 +272,32 @@ def _max_feasible_layers(node_count: int) -> int:
     return 4
 
 
-def run_fusion(sequence, params: Parameters, run_name: str | None = None) -> FusionResult:
+def run_fusion(
+    sequence,
+    params: Parameters,
+    run_name: str | None = None,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 0,
+    resume: bool = False,
+) -> FusionResult:
+    from dynamicfuion_python_tpu.utils.tensor_io import (
+        load_fusion_checkpoint,
+        save_fusion_checkpoint,
+    )
+
     telemetry = TelemetryRecorder(params.telemetry, run_name)
     intrinsics = sequence.intrinsics
     pipeline = FusionPipeline(params, intrinsics)
-    first = True
+    resume_after = -1
+    if resume and checkpoint_dir is not None:
+        volume, field, resume_after = load_fusion_checkpoint(checkpoint_dir)
+        pipeline.volume = volume
+        pipeline.warp_field = field
+        pipeline._refresh_canonical_mesh()
+    first = resume_after < 0
     for frame in sequence:
+        if frame.index <= resume_after:
+            continue
         if first:
             first = False
             pipeline.initialize(frame.depth, frame.color)
@@ -243,6 +309,14 @@ def run_fusion(sequence, params: Parameters, run_name: str | None = None) -> Fus
                 frame.index,
                 canonical=pipeline.canonical_mesh_soup,
                 warped=pipeline.warped_mesh_soup(),
+            )
+        if (
+            checkpoint_dir is not None
+            and checkpoint_every > 0
+            and (frame.index + 1) % checkpoint_every == 0
+        ):
+            save_fusion_checkpoint(
+                checkpoint_dir, pipeline.volume, pipeline.warp_field, frame.index
             )
     summary = telemetry.finish()
     return FusionResult(

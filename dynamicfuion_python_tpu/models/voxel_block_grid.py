@@ -224,6 +224,7 @@ class VoxelBlockGrid:
         extrinsics: jnp.ndarray | None = None,
         color: jnp.ndarray | None = None,
         normals: jnp.ndarray | None = None,
+        post_warp_extrinsics: jnp.ndarray | None = None,
     ) -> "VoxelBlockGrid":
         """Non-rigid fusion through the warp field over the given block list
         (mirrors ``IntegrateNonRigid``; ``block_slots`` comes from
@@ -231,6 +232,10 @@ class VoxelBlockGrid:
 
         ``normals``: f32[H, W, 3] target normal map for the oblique-angle
         rejection test (``cosine > 0.5`` discard, Impl.h:190-196).
+        ``extrinsics`` applies BEFORE warping (reference semantics: the warp
+        field lives in the current camera frame); ``post_warp_extrinsics``
+        applies AFTER warping (our pipeline keeps the field in the canonical
+        frame and moves the camera separately).
         """
         return self._integrate_impl(
             block_slots,
@@ -241,6 +246,7 @@ class VoxelBlockGrid:
             color,
             warp=warp_field,
             normals=normals,
+            post_warp_extrinsics=post_warp_extrinsics,
         )
 
     def _integrate_impl(
@@ -253,6 +259,7 @@ class VoxelBlockGrid:
         color,
         warp,
         normals=None,
+        post_warp_extrinsics=None,
     ) -> "VoxelBlockGrid":
         r = self.block_resolution
         h, w = depth.shape
@@ -278,6 +285,9 @@ class VoxelBlockGrid:
         else:
             anchor_valid = jnp.ones(cam.shape[:1], bool)
             warped = cam
+
+        if post_warp_extrinsics is not None:
+            warped = transform_points(warped, post_warp_extrinsics)
 
         uv, in_front = project_points(warped, intrinsics)
         u = jnp.round(uv[..., 0]).astype(jnp.int32)
@@ -349,6 +359,7 @@ class VoxelBlockGrid:
         intrinsics: jnp.ndarray,
         extrinsics: jnp.ndarray | None = None,
         downsample: int = 16,
+        post_warp_extrinsics: jnp.ndarray | None = None,
     ) -> jnp.ndarray:
         """bool[Cap]: occupied blocks whose *warped* extent may intersect the
         depth frame's truncation band (conservative; mirrors
@@ -374,7 +385,10 @@ class VoxelBlockGrid:
             warp_field.node_translations,
             anchors,
             weights,
-        ).reshape(-1, 8, 3)
+        )
+        if post_warp_extrinsics is not None:
+            warped = transform_points(warped, post_warp_extrinsics)
+        warped = warped.reshape(-1, 8, 3)
 
         uv, in_front = project_points(warped.reshape(-1, 3), intrinsics)
         uv = uv.reshape(-1, 8, 2)

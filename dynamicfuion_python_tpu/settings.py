@@ -72,6 +72,9 @@ class AlignmentConfig:
     levenberg_marquardt_factor: float = 0.001
     max_depth: float = 10.0
     use_regularization: bool = True
+    # rigid pre-alignment (reference pipeline.py:343-354 runs 3-level
+    # point-to-plane odometry before the non-rigid stage)
+    use_rigid_alignment: bool = True
 
 
 @config_node

@@ -26,6 +26,9 @@ def params(tmp_path_factory):
             "graph.erosion_num_iterations=1",
             "alignment.max_iteration_count=4",
             "alignment.arap_term_weight=20.0",
+            # static-camera deforming scene: rigid ICP would wrongly explain
+            # deformation as camera motion
+            "alignment.use_rigid_alignment=false",
             "fusion.far_clip_distance=2.0",
             "fusion.extraction_max_triangles=120000",
             f"telemetry.output_directory={tmp_path_factory.mktemp('fusion_out')}",
@@ -54,6 +57,27 @@ class TestFusionPipeline:
         # warp field translations are finite and bounded
         t = np.asarray(result.warp_field.node_translations)
         assert np.isfinite(t).all() and np.abs(t).max() < 0.2
+
+    def test_checkpoint_resume(self, params, tmp_path):
+        from dynamicfuion_python_tpu.utils.config import apply_overrides
+
+        seq = SyntheticBendingPlaneSequence(
+            frame_count=3, image_size=(96, 128), bend_per_frame=0.02, focal=160.0
+        )
+        ckpt = tmp_path / "fusion_ckpt"
+        p2 = apply_overrides(params, ["telemetry.print_runtime=false"])
+        full = run_fusion(
+            seq, p2, run_name="resume_a", checkpoint_dir=str(ckpt),
+            checkpoint_every=2,
+        )
+        # resume from the frame-1 checkpoint and process only frame 2
+        resumed = run_fusion(
+            seq, p2, run_name="resume_b", checkpoint_dir=str(ckpt), resume=True
+        )
+        assert resumed.summary["frame_count"] == 1
+        t_full = np.asarray(full.warp_field.node_translations)
+        t_res = np.asarray(resumed.warp_field.node_translations)
+        np.testing.assert_allclose(t_res, t_full, atol=1e-4)
 
     def test_telemetry_outputs(self, params):
         import json
