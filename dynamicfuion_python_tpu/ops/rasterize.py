@@ -441,15 +441,80 @@ def rasterize_binned(
     tile_px = jnp.tile(px_local, tile_size)
     tile_py = jnp.repeat(px_local, tile_size)
 
+    bin_chunk = min(128, max_faces_per_bin)
+    n_bin_chunks = (max_faces_per_bin + bin_chunk - 1) // bin_chunk
+
     def do_tile(tile_idx):
-        faces_in_tile = table[tile_idx]  # [max_faces_per_bin]
-        present = faces_in_tile >= 0
-        gathered = fv_safe[jnp.maximum(faces_in_tile, 0)]  # [B, 3, 3]
-        gathered = jnp.where(present[:, None, None], gathered, -1e9)
         base_x = (tile_idx % tw) * tile_size
         base_y = (tile_idx // tw) * tile_size
         px = tile_px + base_x
         py = tile_py + base_y
+
+        def eval_chunk(chunk_idx):
+            faces_chunk = jax.lax.dynamic_slice(
+                table[tile_idx], (chunk_idx * bin_chunk,), (bin_chunk,)
+            )
+            present = faces_chunk >= 0
+            gathered = fv_safe[jnp.maximum(faces_chunk, 0)]
+            gathered = jnp.where(present[:, None, None], gathered, -1e9)
+            return faces_chunk, _fragment_candidates(
+                px,
+                py,
+                gathered[None],
+                blur_radius,
+                perspective_correct,
+                clip_barycentrics,
+                cull_back_faces,
+            )
+
+        if faces_per_pixel == 1:
+            # depth-buffer specialization: a running min over bin chunks
+            # replaces the per-pixel sort — this is the hot path of the
+            # fitter and forward renderer
+            def chunk_body(carry, chunk_idx):
+                best_d, best_f, best_b, best_s = carry
+                faces_chunk, (hit, depth, bary, d2) = eval_chunk(chunk_idx)
+                depth = jnp.where(hit, depth, BG_DEPTH)
+                arg = jnp.argmin(depth, axis=-1)  # [P]
+                take = lambda a: jnp.take_along_axis(
+                    a, arg[..., None], axis=-1
+                )[..., 0]
+                cand_d = take(depth)
+                cand_f = faces_chunk[arg]
+                cand_b = jnp.take_along_axis(
+                    bary, arg[..., None, None], axis=-2
+                )[..., 0, :]
+                cand_s = take(d2)
+                better = cand_d < best_d
+                return (
+                    jnp.where(better, cand_d, best_d),
+                    jnp.where(better, cand_f, best_f),
+                    jnp.where(better[..., None], cand_b, best_b),
+                    jnp.where(better, cand_s, best_s),
+                ), None
+
+            p = tile_size * tile_size
+            init = (
+                jnp.full((p,), BG_DEPTH),
+                jnp.full((p,), -1, jnp.int32),
+                jnp.zeros((p, 3)),
+                jnp.zeros((p,)),
+            )
+            (best_d, best_f, best_b, best_s), _ = jax.lax.scan(
+                chunk_body, init, jnp.arange(n_bin_chunks)
+            )
+            empty = best_d >= BG_DEPTH
+            return (
+                jnp.where(empty, -1, best_f)[:, None],
+                best_d[:, None],
+                jnp.where(empty[:, None], 0.0, best_b)[:, None, :],
+                jnp.where(empty, 0.0, best_s)[:, None],
+            )
+
+        faces_in_tile = table[tile_idx]
+        present = faces_in_tile >= 0
+        gathered = fv_safe[jnp.maximum(faces_in_tile, 0)]
+        gathered = jnp.where(present[:, None, None], gathered, -1e9)
         hit, depth, bary, d2 = _fragment_candidates(
             px,
             py,

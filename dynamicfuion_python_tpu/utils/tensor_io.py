@@ -28,10 +28,24 @@ _MAGIC = b"NTIO"
 _VERSION = 1
 
 
+# compression modes: 0 = raw, 1 = zlib, 2 = NTCZ (native parallel codec)
+_NATIVE_THRESHOLD = 1 << 20  # below this, plain zlib is cheap enough
+
+
 def _write_blob(f, name: str, array: np.ndarray, compress: bool):
     arr = np.ascontiguousarray(array)
     raw = arr.tobytes()
-    payload = zlib.compress(raw, 6) if compress else raw
+    mode = 0
+    payload = raw
+    if compress:
+        if len(raw) >= _NATIVE_THRESHOLD:
+            from dynamicfuion_python_tpu import native
+
+            packed = native.compress(raw)
+            if packed is not None:
+                mode, payload = 2, packed
+        if mode == 0:
+            mode, payload = 1, zlib.compress(raw, 6)
     name_b = name.encode()
     dtype_b = arr.dtype.str.encode()
     f.write(struct.pack("<H", len(name_b)))
@@ -40,7 +54,7 @@ def _write_blob(f, name: str, array: np.ndarray, compress: bool):
     f.write(dtype_b)
     f.write(struct.pack("<B", arr.ndim))
     f.write(struct.pack(f"<{arr.ndim}q", *arr.shape))
-    f.write(struct.pack("<B", 1 if compress else 0))
+    f.write(struct.pack("<B", mode))
     f.write(struct.pack("<q", len(payload)))
     f.write(payload)
 
@@ -52,10 +66,24 @@ def _read_blob(f):
     dtype = np.dtype(f.read(dtype_len).decode())
     (ndim,) = struct.unpack("<B", f.read(1))
     shape = struct.unpack(f"<{ndim}q", f.read(8 * ndim)) if ndim else ()
-    (compressed,) = struct.unpack("<B", f.read(1))
+    (mode,) = struct.unpack("<B", f.read(1))
     (size,) = struct.unpack("<q", f.read(8))
     payload = f.read(size)
-    raw = zlib.decompress(payload) if compressed else payload
+    if mode == 0:
+        raw = payload
+    elif mode == 1:
+        raw = zlib.decompress(payload)
+    elif mode == 2:
+        from dynamicfuion_python_tpu import native
+
+        raw = native.decompress(payload)
+        if raw is None:
+            raise RuntimeError(
+                "blob uses the native NTCZ codec but libntio is unavailable "
+                "(build it with dynamicfuion_python_tpu.native.build_library())"
+            )
+    else:
+        raise ValueError(f"unknown compression mode {mode}")
     return name, np.frombuffer(raw, dtype).reshape(shape).copy()
 
 

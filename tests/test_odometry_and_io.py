@@ -131,3 +131,31 @@ class TestTensorIO:
         np.testing.assert_array_equal(
             np.asarray(f2.edges), np.asarray(field.edges)
         )
+
+
+class TestNativeCodec:
+    def test_parallel_codec_round_trip(self, rng):
+        from dynamicfuion_python_tpu import native
+
+        if not native.build_library():
+            pytest.skip("no C++ toolchain")
+        data = rng.integers(0, 50, size=3_000_000, dtype=np.uint8).tobytes()
+        packed = native.compress(data)
+        assert packed is not None and len(packed) < len(data)
+        assert native.decompress(packed) == data
+
+    def test_ntio_uses_native_mode_for_large_blobs(self, tmp_path, rng):
+        from dynamicfuion_python_tpu import native
+        from dynamicfuion_python_tpu.utils.tensor_io import (
+            read_tensors,
+            write_tensors,
+        )
+
+        if not native.build_library():
+            pytest.skip("no C++ toolchain")
+        big = rng.integers(0, 10, size=(2_000_000,)).astype(np.int16)
+        small = rng.normal(size=(8,)).astype(np.float32)
+        write_tensors(tmp_path / "mixed.ntio", {"big": big, "small": small})
+        back = read_tensors(tmp_path / "mixed.ntio")
+        np.testing.assert_array_equal(back["big"], big)
+        np.testing.assert_array_equal(back["small"], small)
