@@ -238,9 +238,20 @@ class FusionPipeline:
             depth_j, self.intrinsics, p.fusion.depth_scale,
             p.fusion.far_clip_distance,
         )
+        # compact the active-block list so per-frame voxel work scales with
+        # the visible surface, not the table capacity
+        max_active = min(
+            p.tsdf.max_active_blocks, self.volume.capacity
+        )
+        (active_slots,) = jnp.nonzero(
+            intersecting, size=max_active, fill_value=0
+        )
+        active_valid = intersecting[active_slots] & (
+            jnp.arange(max_active) < jnp.sum(intersecting)
+        )
         self.volume = self.volume.integrate_non_rigid(
-            jnp.arange(self.volume.capacity),
-            intersecting,
+            active_slots,
+            active_valid,
             self.warp_field,
             depth_j,
             self.intrinsics,

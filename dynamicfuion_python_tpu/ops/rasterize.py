@@ -313,6 +313,7 @@ def _pad_k(frag: Fragments, k: int) -> Fragments:
         "max_large_faces",
         "return_overflow",
         "tile_chunk",
+        "use_pallas",
     ),
 )
 def rasterize_binned(
@@ -330,6 +331,7 @@ def rasterize_binned(
     max_large_faces: int = 512,
     return_overflow: bool = False,
     tile_chunk: int = 64,
+    use_pallas: str = "auto",
 ) -> Fragments:
     """Two-phase tiled rasterization (production path).
 
@@ -416,14 +418,10 @@ def rasterize_binned(
     order = jnp.argsort(sort_key, stable=True)
     sorted_tiles = sort_key[order]
     sorted_faces = face_all[order]
-    # rank within tile segment
-    same = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), (sorted_tiles[1:] == sorted_tiles[:-1]).astype(jnp.int32)]
-    )
-    # rank = index - first index of segment; compute via segmented cumsum reset
+    # rank within tile segment = index - first index of the segment, found by
+    # binary search on the sorted keys (compiles to one op, unlike a scan)
     idx = jnp.arange(sorted_tiles.shape[0])
-    seg_start = jnp.where(same == 0, idx, 0)
-    seg_start = jax.lax.associative_scan(jnp.maximum, seg_start)
+    seg_start = jnp.searchsorted(sorted_tiles, sorted_tiles, side="left")
     rank = idx - seg_start
     keep = (sorted_tiles < num_tiles) & (rank < max_faces_per_bin)
 
@@ -437,6 +435,71 @@ def rasterize_binned(
 
     # --- phase 2: per-tile rasterization
     fv_safe = jnp.where(valid_faces[:, None, None], fv, -1e9)
+
+    pallas_ok = (
+        use_pallas != "never"
+        and faces_per_pixel == 1
+        and tile_size == 16
+        and (use_pallas == "force" or jax.default_backend() == "tpu")
+    )
+    if pallas_ok:
+        from dynamicfuion_python_tpu.ops.pallas.rasterize_tiles import (
+            rasterize_tiles_pallas,
+        )
+
+        k_pad = (max_faces_per_bin + 127) // 128 * 128
+        if k_pad != max_faces_per_bin:
+            table = jnp.concatenate(
+                [table, jnp.full((num_tiles, k_pad - max_faces_per_bin), -1, jnp.int32)],
+                axis=1,
+            )
+        gathered = fv_safe[jnp.maximum(table, 0)]  # [T, K, 3, 3]
+        soa = jnp.zeros((num_tiles, 16, k_pad), jnp.float32)
+        soa = soa.at[:, :9, :].set(
+            gathered.reshape(num_tiles, k_pad, 9).transpose(0, 2, 1)
+        )
+        face_t, depth_t, bary_t, d2_t = rasterize_tiles_pallas(
+            soa,
+            table,
+            blur_radius,
+            tile_size,
+            tw,
+            perspective_correct=perspective_correct,
+            cull_back_faces=cull_back_faces,
+        )
+        # note: clip_barycentrics is a no-op for K=1 hard rasterization of
+        # interior pixels; blur-region pixels keep unclipped coordinates
+        frag = Fragments(
+            face_indices=_detile(
+                face_t.reshape(num_tiles, tile_size, tile_size),
+                th, tw, tile_size, (),
+            )[:h, :w][..., None],
+            depths=_detile(
+                depth_t.reshape(num_tiles, tile_size, tile_size),
+                th, tw, tile_size, (),
+            )[:h, :w][..., None],
+            barycentrics=_detile(
+                bary_t.transpose(0, 2, 1).reshape(
+                    num_tiles, tile_size, tile_size, 3
+                ),
+                th, tw, tile_size, (3,),
+            )[:h, :w][:, :, None, :],
+            distances=_detile(
+                d2_t.reshape(num_tiles, tile_size, tile_size),
+                th, tw, tile_size, (),
+            )[:h, :w][..., None],
+        )
+        frag = _pad_k(frag, faces_per_pixel)
+        if not return_overflow:
+            return frag
+        overflow = {
+            "dropped_large_faces": jnp.sum(large)
+            - jnp.sum(has_large & large[safe_large]),
+            "dropped_bin_entries": jnp.sum(
+                (sorted_tiles < num_tiles) & (rank >= max_faces_per_bin)
+            ),
+        }
+        return frag, overflow
     px_local = jnp.arange(tile_size, dtype=jnp.float32)
     tile_px = jnp.tile(px_local, tile_size)
     tile_py = jnp.repeat(px_local, tile_size)

@@ -41,6 +41,9 @@ class TsdfConfig:
     sdf_truncation_distance: float = 0.02
     block_resolution: int = 8
     initial_block_count: int = 2048  # here: fixed table capacity
+    # static cap on blocks integrated per frame (compacted active list);
+    # bounds the per-frame voxel work independent of table capacity
+    max_active_blocks: int = 1024
 
 
 @config_node
