@@ -515,6 +515,216 @@ class VoxelBlockGrid:
             tsdf_p, valid_p, origins, self.voxel_size, max_triangles
         )
 
+    def extract_triangle_mesh(
+        self,
+        max_triangles: int = 200_000,
+        max_vertices: int | None = None,
+    ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """Welded zero-isosurface mesh (shared vertices), mirroring the
+        reference's ``VoxelBlockGrid::ExtractTriangleMesh``
+        (``cpp/geometry/VoxelBlockGrid.h:48``, Open3D marching cubes with
+        vertex sharing).
+
+        The triangle soup from marching tetrahedra is welded by quantizing
+        vertex coordinates to a 1e-6 m grid (isosurface vertices on shared
+        tet edges are bit-identical up to block-origin rounding, so this is
+        exact welding, not simplification) and deduplicating with a fixed
+        capacity ``jnp.unique``.
+
+        Returns:
+          vertices f32[max_vertices, 3] (padded with 0),
+          faces int32[max_triangles, 3] vertex indices (garbage past count),
+          vertex_count int32, triangle_count int32.
+        """
+        if max_vertices is None:
+            # Euler bound: a closed triangle mesh has ~T/2 vertices; soup
+            # welding never produces more than 3T/2 + 2 for open surfaces.
+            max_vertices = max_triangles * 3 // 2 + 2
+        soup, tri_count = self.extract_triangle_soup(max_triangles)
+        verts = soup.reshape(-1, 3)
+        tri_valid = jnp.arange(max_triangles) < tri_count
+        # 1e-6 m quantization grid; int32 range covers +-2147 m of scene
+        weld_eps = 1e-6
+        q = jnp.round(verts / weld_eps).astype(jnp.int32)
+        sentinel = jnp.int32(2**31 - 1)
+        q = jnp.where(
+            jnp.repeat(tri_valid, 3)[:, None], q, sentinel
+        )
+        uq, inv = jnp.unique(
+            q,
+            axis=0,
+            size=max_vertices + 1,
+            return_inverse=True,
+            fill_value=sentinel,
+        )
+        vertices = jnp.zeros((max_vertices + 1, 3), jnp.float32).at[inv].set(
+            verts
+        )
+        faces = inv.reshape(max_triangles, 3).astype(jnp.int32)
+        vertex_count = jnp.sum(jnp.any(uq != sentinel, axis=1))
+        return vertices[:max_vertices], faces, vertex_count, tri_count
+
+    # -- TSDF sampling & ray casting -------------------------------------------
+
+    def sample_tsdf(
+        self, points: jnp.ndarray
+    ) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """Trilinear TSDF sample at world points f32[N, 3] -> (value f32[N],
+        valid bool[N]); valid requires all 8 surrounding voxels observed
+        (weight > 0). Voxel centers sit at ``index * voxel_size`` (matching
+        ``_voxel_world_positions``)."""
+        r = self.block_resolution
+        vc = points / self.voxel_size
+        base = jnp.floor(vc).astype(jnp.int32)  # [N, 3]
+        frac = vc - base
+        corner_offsets = jnp.asarray(
+            [[i, j, k] for i in (0, 1) for j in (0, 1) for k in (0, 1)],
+            jnp.int32,
+        )  # [8, 3]
+        idx = base[:, None, :] + corner_offsets[None]  # [N, 8, 3]
+        block = jnp.floor_divide(idx, r)
+        local = idx - block * r
+        slots, found = self.find_block_slots(
+            vbh.pack_block_keys(block.reshape(-1, 3))
+        )
+        flat_local = local.reshape(-1, 3)
+        t = self.tsdf[slots, flat_local[:, 0], flat_local[:, 1], flat_local[:, 2]]
+        w = self.weight[slots, flat_local[:, 0], flat_local[:, 1], flat_local[:, 2]]
+        t = t.reshape(-1, 8)
+        observed = (found & (w > 0)).reshape(-1, 8)
+        # trilinear weights per corner
+        f = frac[:, None, :]
+        o = corner_offsets[None].astype(jnp.float32)
+        wt = jnp.prod(o * f + (1.0 - o) * (1.0 - f), axis=-1)  # [N, 8]
+        value = jnp.sum(wt * t, axis=-1)
+        valid = jnp.all(observed, axis=-1)
+        return value, valid
+
+    def sample_color(self, points: jnp.ndarray) -> jnp.ndarray:
+        """Trilinear color sample at world points f32[N, 3] -> f32[N, 3]."""
+        r = self.block_resolution
+        vc = points / self.voxel_size
+        base = jnp.floor(vc).astype(jnp.int32)
+        frac = vc - base
+        corner_offsets = jnp.asarray(
+            [[i, j, k] for i in (0, 1) for j in (0, 1) for k in (0, 1)],
+            jnp.int32,
+        )
+        idx = base[:, None, :] + corner_offsets[None]
+        block = jnp.floor_divide(idx, r)
+        local = idx - block * r
+        slots, found = self.find_block_slots(
+            vbh.pack_block_keys(block.reshape(-1, 3))
+        )
+        flat_local = local.reshape(-1, 3)
+        c = self.color[
+            slots, flat_local[:, 0], flat_local[:, 1], flat_local[:, 2]
+        ].reshape(-1, 8, 3)
+        c = jnp.where(found.reshape(-1, 8, 1), c, 0.0)
+        f = frac[:, None, :]
+        o = corner_offsets[None].astype(jnp.float32)
+        wt = jnp.prod(o * f + (1.0 - o) * (1.0 - f), axis=-1)
+        return jnp.sum(wt[..., None] * c, axis=1)
+
+    def ray_cast(
+        self,
+        intrinsics: jnp.ndarray,
+        extrinsics: jnp.ndarray | None,
+        width: int,
+        height: int,
+        depth_min: float = 0.1,
+        with_normals: bool = False,
+        with_color: bool = False,
+    ) -> dict:
+        """TSDF raymarching (mirrors ``VoxelBlockGrid::RayCast``,
+        ``cpp/geometry/VoxelBlockGrid.h:48`` / Open3D ray_cast semantics).
+
+        Two-phase, TPU-friendly march with static trip counts: a coarse pass
+        strides at half the truncation distance until the first
+        positive->nonpositive TSDF zero crossing, then one linear-interpolation
+        refinement between the bracketing samples (TSDF is linear near the
+        surface by construction, so a single secant step is exact to
+        truncation curvature).
+
+        Returns a dict with ``depth`` f32[H, W] (0 = miss), ``points``
+        f32[H, W, 3] world hits, ``mask`` bool[H, W]; plus ``normals``
+        (TSDF gradient, normalized) and ``colors`` when requested.
+        """
+        fx, fy = intrinsics[0, 0], intrinsics[1, 1]
+        cx, cy = intrinsics[0, 2], intrinsics[1, 2]
+        v, u = jnp.mgrid[0:height, 0:width]
+        dirs_cam = jnp.stack(
+            [
+                (u.astype(jnp.float32) - cx) / fx,
+                (v.astype(jnp.float32) - cy) / fy,
+                jnp.ones((height, width), jnp.float32),
+            ],
+            axis=-1,
+        ).reshape(-1, 3)  # z-normalized: t == camera-space depth
+        if extrinsics is not None:
+            cam_to_world = jnp.linalg.inv(extrinsics)
+            origin = cam_to_world[:3, 3]
+            dirs = dirs_cam @ cam_to_world[:3, :3].T
+        else:
+            origin = jnp.zeros(3, jnp.float32)
+            dirs = dirs_cam
+
+        step = 0.5 * self.sdf_truncation_distance
+        n_steps = int(np.ceil((self.depth_max - depth_min) / step)) + 1
+
+        def march(carry, i):
+            prev_val, prev_valid, hit_t, found = carry
+            t = depth_min + i * step
+            pts = origin[None] + t * dirs
+            val, valid = self.sample_tsdf(pts)
+            crossing = (
+                prev_valid & valid & (prev_val > 0.0) & (val <= 0.0) & ~found
+            )
+            # secant refinement between (t - step, prev_val) and (t, val)
+            denom = jnp.where(
+                jnp.abs(prev_val - val) > 1e-12, prev_val - val, 1.0
+            )
+            t_hit = (t - step) + step * prev_val / denom
+            hit_t = jnp.where(crossing, t_hit, hit_t)
+            found = found | crossing
+            return (val, valid, hit_t, found), None
+
+        n_rays = dirs.shape[0]
+        init = (
+            jnp.zeros(n_rays, jnp.float32),
+            jnp.zeros(n_rays, bool),
+            jnp.zeros(n_rays, jnp.float32),
+            jnp.zeros(n_rays, bool),
+        )
+        (_, _, hit_t, found), _ = jax.lax.scan(
+            march, init, jnp.arange(n_steps)
+        )
+        points = origin[None] + hit_t[:, None] * dirs
+        result = {
+            "depth": jnp.where(found, hit_t, 0.0).reshape(height, width),
+            "points": points.reshape(height, width, 3),
+            "mask": found.reshape(height, width),
+        }
+        if with_normals:
+            eps = self.voxel_size
+            grads = []
+            for axis in range(3):
+                off = jnp.zeros(3, jnp.float32).at[axis].set(eps)
+                vp, _ = self.sample_tsdf(points + off[None])
+                vm, _ = self.sample_tsdf(points - off[None])
+                grads.append(vp - vm)
+            g = jnp.stack(grads, axis=-1)
+            n = g / jnp.maximum(jnp.linalg.norm(g, axis=-1, keepdims=True), 1e-12)
+            result["normals"] = jnp.where(
+                found[:, None], n, 0.0
+            ).reshape(height, width, 3)
+        if with_color:
+            c = self.sample_color(points)
+            result["colors"] = jnp.where(found[:, None], c, 0.0).reshape(
+                height, width, 3
+            )
+        return result
+
     def extract_voxel_values_at(
         self, voxel_coords: jnp.ndarray
     ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:

@@ -310,3 +310,19 @@ def node_and_edge_cleanup(edges: np.ndarray, min_neighbors: int = 2):
             edges[kill] = -1
             changed = True
     return valid, edges
+
+
+def update_pixel_anchors(
+    node_id_mapping: np.ndarray, pixel_anchors: np.ndarray
+) -> np.ndarray:
+    """Renumber a pixel-anchor image after node removal
+    (``nnrt.update_pixel_anchors`` semantics,
+    ``cpp/cpu/graph_proc.h:15-101``): ``node_id_mapping[i]`` is the new
+    index of old node ``i`` (-1 = removed). Anchors pointing at removed
+    nodes become -1."""
+    mapping = np.asarray(node_id_mapping, np.int32)
+    anchors = np.asarray(pixel_anchors, np.int32)
+    out = np.full_like(anchors, -1)
+    present = anchors >= 0
+    out[present] = mapping[anchors[present]]
+    return out

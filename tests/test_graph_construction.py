@@ -11,6 +11,7 @@ from dynamicfuion_python_tpu.ops.graph_construction import (
     compute_edges_shortest_path,
     node_and_edge_cleanup,
     sample_nodes,
+    update_pixel_anchors,
     vertex_erosion_mask,
 )
 
@@ -161,3 +162,13 @@ class TestEuclideanEdgesAndCleanup:
         valid, cleaned = node_and_edge_cleanup(edges, min_neighbors=2)
         assert valid.tolist() == [True, True, True, False]
         assert (cleaned[3] == -1).all()
+
+    def test_update_pixel_anchors(self):
+        # nodes 0..3; node 1 removed -> mapping [0, -1, 1, 2]
+        mapping = np.array([0, -1, 1, 2], np.int32)
+        anchors = np.array(
+            [[[0, 1, -1, 3], [2, 2, 1, -1]]], np.int32
+        )  # [1, 2, 4] pixel-anchor image
+        out = update_pixel_anchors(mapping, anchors)
+        assert out[0, 0].tolist() == [0, -1, -1, 2]
+        assert out[0, 1].tolist() == [1, 1, -1, -1]

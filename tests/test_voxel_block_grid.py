@@ -218,32 +218,34 @@ class TestNonRigidIntegration:
         assert int(grid.occupied_count()) == 27
 
 
+def _sphere_grid(r_sphere=0.2):
+    """Grid whose TSDF is the analytic normalized sphere SDF (radius 0.2)."""
+    grid = _fresh_grid(capacity=1024, voxel_size=0.01)
+    rng_blocks = range(-4, 4)
+    coords = np.array(
+        [[i, j, k] for i in rng_blocks for j in rng_blocks for k in rng_blocks],
+        np.int32,
+    )
+    keys = vbh.pack_block_keys(jnp.asarray(coords))
+    padded = jnp.full((1024,), vbh.EMPTY_KEY, jnp.int32).at[: len(coords)].set(
+        keys
+    )
+    grid = grid.activate(padded)
+    slots = jnp.arange(grid.capacity)
+    world = grid._voxel_world_positions(slots)
+    sdf = (jnp.linalg.norm(world, axis=-1) - r_sphere) / grid.sdf_truncation_distance
+    sdf = jnp.clip(sdf, -1.0, 1.0)
+    occ = grid.occupied_mask()[:, None, None, None]
+    return grid.replace(
+        tsdf=jnp.where(occ, sdf, 0.0),
+        weight=jnp.where(occ, 1.0, 0.0),
+    )
+
+
 class TestExtraction:
     def test_sphere_surface(self):
-        # analytic sphere SDF centered at origin, radius 0.2
-        grid = _fresh_grid(capacity=1024, voxel_size=0.01)
         r_sphere = 0.2
-        # activate blocks covering [-0.3, 0.3]^3
-        rng_blocks = range(-4, 4)
-        coords = np.array(
-            [[i, j, k] for i in rng_blocks for j in rng_blocks for k in rng_blocks],
-            np.int32,
-        )
-        keys = vbh.pack_block_keys(jnp.asarray(coords))
-        padded = jnp.full((1024,), vbh.EMPTY_KEY, jnp.int32).at[: len(coords)].set(
-            keys
-        )
-        grid = grid.activate(padded)
-        # fill tsdf with the normalized sphere SDF at voxel centers
-        slots = jnp.arange(grid.capacity)
-        world = grid._voxel_world_positions(slots)
-        sdf = (jnp.linalg.norm(world, axis=-1) - r_sphere) / grid.sdf_truncation_distance
-        sdf = jnp.clip(sdf, -1.0, 1.0)
-        occ = grid.occupied_mask()[:, None, None, None]
-        grid = grid.replace(
-            tsdf=jnp.where(occ, sdf, 0.0),
-            weight=jnp.where(occ, 1.0, 0.0),
-        )
+        grid = _sphere_grid(r_sphere)
         tris, count = grid.extract_triangle_soup(max_triangles=60_000)
         count = int(count)
         assert 0 < count < 60_000
@@ -257,3 +259,113 @@ class TestExtraction:
         dots = (n * centroid).sum(-1)
         nonzero = np.linalg.norm(n, axis=-1) > 1e-12
         assert (dots[nonzero] > 0).mean() > 0.99
+
+    def test_welded_mesh_matches_soup(self):
+        r_sphere = 0.2
+        grid = _sphere_grid(r_sphere)
+        verts, faces, v_count, t_count = grid.extract_triangle_mesh(
+            max_triangles=60_000
+        )
+        v_count, t_count = int(v_count), int(t_count)
+        assert 0 < t_count < 60_000
+        # welding must actually share vertices (closed surface: V ~ T/2)
+        assert 0 < v_count < t_count
+        verts_np = np.asarray(verts)
+        faces_np = np.asarray(faces)[:t_count]
+        assert faces_np.min() >= 0 and faces_np.max() < v_count
+        # reconstructed triangle positions lie on the sphere
+        tri_pts = verts_np[faces_np].reshape(-1, 3)
+        np.testing.assert_allclose(
+            np.linalg.norm(tri_pts, axis=-1), r_sphere, atol=0.011
+        )
+        # every referenced vertex index is used consistently: welded faces
+        # must reproduce the soup area within float tolerance
+        soup, sc = grid.extract_triangle_soup(max_triangles=60_000)
+        soup = np.asarray(soup)[: int(sc)]
+
+        def area(t):
+            return 0.5 * np.linalg.norm(
+                np.cross(t[:, 1] - t[:, 0], t[:, 2] - t[:, 0]), axis=-1
+            ).sum()
+
+        np.testing.assert_allclose(
+            area(verts_np[faces_np]), area(soup), rtol=1e-4
+        )
+
+
+class TestSamplingAndRayCast:
+    def test_sample_tsdf_trilinear(self):
+        grid = _sphere_grid()
+        # at exact voxel centers the trilinear sample equals the stored value
+        probes_idx = np.array([[0, 0, 18], [5, -3, 17], [-10, 2, -16]], np.int32)
+        stored_t, stored_w, found = map(
+            np.asarray, grid.extract_voxel_values_at(jnp.asarray(probes_idx))
+        )
+        assert found.all() and (stored_w > 0).all()
+        val, valid = grid.sample_tsdf(
+            jnp.asarray(probes_idx, jnp.float32) * grid.voxel_size
+        )
+        assert np.asarray(valid).all()
+        np.testing.assert_allclose(np.asarray(val), stored_t, atol=1e-5)
+        # midway between centers: the average of the two
+        mid = jnp.asarray([[0.0, 0.0, 18.5 * grid.voxel_size]])
+        val_mid, ok = grid.sample_tsdf(mid)
+        t2, _, _ = map(
+            np.asarray,
+            grid.extract_voxel_values_at(jnp.asarray([[0, 0, 18], [0, 0, 19]])),
+        )
+        assert np.asarray(ok).all()
+        np.testing.assert_allclose(
+            np.asarray(val_mid)[0], 0.5 * (t2[0] + t2[1]), atol=1e-5
+        )
+        # far outside any allocated block -> invalid
+        _, bad = grid.sample_tsdf(jnp.asarray([[10.0, 10.0, 10.0]]))
+        assert not np.asarray(bad).any()
+
+    def test_ray_cast_sphere(self):
+        r_sphere = 0.2
+        grid = _sphere_grid(r_sphere)
+        # camera at z=-0.6 looking +z at the sphere centered at origin
+        extr = jnp.asarray(
+            [
+                [1.0, 0, 0, 0],
+                [0, 1.0, 0, 0],
+                [0, 0, 1.0, 0.6],
+                [0, 0, 0, 1.0],
+            ],
+            jnp.float32,
+        )
+        res = grid.ray_cast(
+            INTRINSICS, extr, width=W, height=H, depth_min=0.1,
+            with_normals=True,
+        )
+        mask = np.asarray(res["mask"])
+        assert mask[H // 2, W // 2]
+        # central ray hits the near pole: depth = 0.6 - 0.2 = 0.4
+        d_center = float(np.asarray(res["depth"])[H // 2, W // 2])
+        assert abs(d_center - 0.4) < 0.01
+        # all hit points lie on the sphere
+        pts = np.asarray(res["points"])[mask]
+        np.testing.assert_allclose(
+            np.linalg.norm(pts, axis=-1), r_sphere, atol=0.01
+        )
+        # normals point outward (away from origin)
+        nrm = np.asarray(res["normals"])[mask]
+        dots = (nrm * pts).sum(-1) / np.maximum(
+            np.linalg.norm(pts, axis=-1), 1e-9
+        )
+        assert (dots > 0.9).mean() > 0.99
+
+    def test_ray_cast_integrated_plane(self):
+        grid = _fresh_grid()
+        depth = _plane_depth(1.0)
+        grid = grid.activate(
+            grid.compute_unique_block_coordinates(depth, INTRINSICS, stride=2)
+        )
+        grid = grid.integrate(depth, INTRINSICS)
+        res = grid.ray_cast(INTRINSICS, None, width=W, height=H)
+        d = np.asarray(res["depth"])
+        mask = np.asarray(res["mask"])
+        assert mask[H // 2, W // 2]
+        # ray_cast depth ~ integrated plane depth at every hit pixel
+        np.testing.assert_allclose(d[mask], 1.0, atol=0.01)
