@@ -172,3 +172,58 @@ class TestEuclideanEdgesAndCleanup:
         out = update_pixel_anchors(mapping, anchors)
         assert out[0, 0].tolist() == [0, -1, -1, 2]
         assert out[0, 1].tolist() == [1, 1, -1, -1]
+
+
+class TestGraphDataApp:
+    """create_graph_data app: graph blobs round-trip in the reference's
+    byte format (reference apps/create_graph_data.py:331-413, data/io.py:200-407)."""
+
+    def _synthetic_depth(self, h=60, w=80, z_mm=1000):
+        depth = np.zeros((h, w), np.uint16)
+        depth[10:-10, 10:-10] = z_mm
+        intr = np.array(
+            [[80.0, 0, w / 2], [0, 80.0, h / 2], [0, 0, 1]], np.float32
+        )
+        return depth, intr
+
+    def test_roundtrip_and_layout(self, tmp_path):
+        from dynamicfuion_python_tpu.apps.create_graph_data import (
+            load_graph_data,
+            process_frame,
+            save_graph_data,
+        )
+
+        depth, intr = self._synthetic_depth()
+        nodes, edges, ew, clusters, anchors, weights, _ = process_frame(
+            depth, intr, node_coverage=0.2, erosion_iterations=1
+        )
+        assert len(nodes) >= 2 and edges.shape[0] == len(nodes)
+        written = save_graph_data(
+            tmp_path, "000000_000050", 0.2,
+            nodes, edges, ew, clusters, anchors, weights,
+        )
+        assert (tmp_path / "graph_nodes" / "000000_000050_geodesic_0.20.bin").is_file()
+        assert set(written) == {
+            "graph_nodes", "graph_edges", "graph_edges_weights",
+            "graph_clusters", "pixel_anchors", "pixel_weights",
+        }
+        data = load_graph_data(tmp_path, "000000_000050", 0.2)
+        np.testing.assert_array_equal(data["nodes"], nodes)
+        np.testing.assert_array_equal(data["edges"], edges)
+        np.testing.assert_array_equal(data["edge_weights"], ew)
+        np.testing.assert_array_equal(data["clusters"].ravel(), clusters.ravel())
+        np.testing.assert_array_equal(data["pixel_anchors"], anchors)
+        np.testing.assert_array_equal(data["pixel_weights"], weights)
+        assert data["node_deformations"] is None
+
+    def test_scene_flow_node_deformations(self):
+        from dynamicfuion_python_tpu.apps.create_graph_data import process_frame
+
+        depth, intr = self._synthetic_depth()
+        flow = np.tile(
+            np.array([0.01, -0.02, 0.03], np.float32), depth.shape + (1,)
+        )
+        *_, deform = process_frame(
+            depth, intr, node_coverage=0.2, erosion_iterations=1, scene_flow=flow
+        )
+        np.testing.assert_allclose(deform, [[0.01, -0.02, 0.03]] * len(deform))
