@@ -38,7 +38,12 @@ class Extractor(nn.Module):
     def __call__(self, x):
         pyramid = []
         for f in self.features:
-            x = _leaky(nn.Conv(f, (3, 3), strides=(2, 2))(x))
+            # explicit (1,1) padding: torch Conv2d(stride=2, padding=1)
+            # semantics, NOT XLA SAME (which pads (0,1) for even dims) —
+            # required for reference-checkpoint weight compatibility
+            x = _leaky(
+                nn.Conv(f, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))(x)
+            )
             x = _leaky(nn.Conv(f, (3, 3))(x))
             x = _leaky(nn.Conv(f, (3, 3))(x))
             pyramid.append(x)
