@@ -1,0 +1,142 @@
+"""64-object 4.45M-triangle rasterization benchmark.
+
+Replicates the reference's headline scene — a 64-mesh array totaling 4.45M
+triangles rasterized at 480x640 (``cpp/tests/test_rasterize.cpp:362-373``,
+README.md:21-23, CUDA budget < 77 ms/frame) — with 64 UV-spheres of 69.6k
+faces each (the Stanford bunny asset is not redistributable; triangle count,
+screen coverage, and image size match).
+
+Run: python benchmarks/bench_rasterizer.py [--faces-per-pixel K]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def uv_sphere(rings: int, segments: int, radius: float, center) -> tuple:
+    """-> (verts f32[V,3], faces i32[F,3]) with F = 2*segments*(rings-1)."""
+    phi = np.linspace(0, np.pi, rings + 1)[1:-1]
+    theta = np.linspace(0, 2 * np.pi, segments, endpoint=False)
+    pp, tt = np.meshgrid(phi, theta, indexing="ij")
+    ring_pts = np.stack(
+        [np.sin(pp) * np.cos(tt), np.sin(pp) * np.sin(tt), np.cos(pp)], -1
+    ).reshape(-1, 3)
+    verts = np.concatenate(
+        [[[0, 0, 1.0]], ring_pts, [[0, 0, -1.0]]], 0
+    ) * radius + np.asarray(center)
+    n_ring = rings - 1
+    faces = []
+    top, bottom = 0, 1 + n_ring * segments
+    ring0 = 1
+    for s in range(segments):
+        faces.append([top, ring0 + s, ring0 + (s + 1) % segments])
+    for r in range(n_ring - 1):
+        a = ring0 + r * segments
+        b = a + segments
+        for s in range(segments):
+            s1 = (s + 1) % segments
+            faces.append([a + s, b + s, b + s1])
+            faces.append([a + s, b + s1, a + s1])
+    last = ring0 + (n_ring - 1) * segments
+    for s in range(segments):
+        faces.append([bottom, last + (s + 1) % segments, last + s])
+    return verts.astype(np.float32), np.asarray(faces, np.int32)
+
+
+def build_scene(grid=8, rings=149, segments=236):
+    """64 spheres of 2*segments*(rings-1) faces in a grid facing the camera."""
+    verts_all, faces_all = [], []
+    offset = 0
+    spacing = 0.5
+    half = (grid - 1) / 2
+    base_v, base_f = uv_sphere(rings, segments, 0.22, (0, 0, 0))
+    for i in range(grid):
+        for j in range(grid):
+            center = np.asarray(
+                [(j - half) * spacing, (i - half) * spacing, 4.0 + 0.1 * ((i + j) % 3)],
+                np.float32,
+            )
+            verts_all.append(base_v + center)
+            faces_all.append(base_f + offset)
+            offset += len(base_v)
+    return np.concatenate(verts_all), np.concatenate(faces_all)
+
+
+def run(faces_per_pixel=1, iters=10, tile_chunk=64, max_faces_per_bin=1024):
+    import jax
+    import jax.numpy as jnp
+
+    from dynamicfuion_python_tpu.ops.rasterize import (
+        extract_face_vertices,
+        rasterize_binned,
+    )
+
+    h, w = 480, 640
+    intr = jnp.asarray(
+        [[580.0, 0, w / 2], [0, 580.0, h / 2], [0, 0, 1]], jnp.float32
+    )
+    verts_np, faces_np = build_scene()
+    print(
+        f"scene: {len(verts_np):,} verts, {len(faces_np):,} faces "
+        f"(reference scene: 4.45M), image {h}x{w}, K={faces_per_pixel}",
+        file=sys.stderr,
+    )
+    verts = jnp.asarray(verts_np)
+    faces = jnp.asarray(faces_np)
+
+    def full(verts):
+        fv, valid = extract_face_vertices(verts, faces, intr, (h, w))
+        return rasterize_binned(
+            fv,
+            valid,
+            (h, w),
+            faces_per_pixel=faces_per_pixel,
+            max_faces_per_bin=max_faces_per_bin,
+            tile_chunk=tile_chunk,
+        )
+
+    jfull = jax.jit(full)
+    t0 = time.perf_counter()
+    frag = jax.block_until_ready(jfull(verts))
+    compile_s = time.perf_counter() - t0
+    covered = int((frag.face_indices[..., 0] >= 0).sum())
+    print(
+        f"compile+first run {compile_s:.1f}s; covered pixels "
+        f"{covered}/{h * w} ({covered / (h * w):.1%})",
+        file=sys.stderr,
+    )
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        frag = jfull(verts)
+    jax.block_until_ready(frag)
+    dt_ms = (time.perf_counter() - t0) / iters * 1e3
+    return dt_ms, covered
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--faces-per-pixel", type=int, default=1)
+    parser.add_argument("--iters", type=int, default=10)
+    parser.add_argument("--tile-chunk", type=int, default=64)
+    parser.add_argument("--max-faces-per-bin", type=int, default=1024)
+    args = parser.parse_args()
+    dt_ms, covered = run(
+        args.faces_per_pixel, args.iters, args.tile_chunk, args.max_faces_per_bin
+    )
+    print(
+        f"rasterize 4.45M tris @480x640: {dt_ms:.2f} ms/frame "
+        f"(CUDA reference budget 77 ms; speedup {77.0 / dt_ms:.2f}x)"
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -476,3 +476,39 @@ class TestTorchWeightConversion:
             np.asarray(params2["mask_net"]["Conv_0"]["kernel"]),
             np.asarray(template["mask_net"]["Conv_0"]["kernel"]),
         )
+
+
+class TestSod:
+    """U²-Net-lite SOD (models/u2net.py + apps/sod.py), the reference
+    ``run_sod.py`` mask-generation capability."""
+
+    def test_u2net_shapes(self, rng):
+        from dynamicfuion_python_tpu.models.u2net import U2NetLite
+
+        model = U2NetLite(mid=4, out=8)
+        x = jnp.asarray(rng.uniform(size=(1, 64, 64, 3)).astype(np.float32))
+        params = model.init(jax.random.PRNGKey(0), x)
+        outs = model.apply(params, x)
+        assert len(outs) == 7
+        for o in outs:
+            assert o.shape == (1, 64, 64, 1)
+            v = np.asarray(o)
+            assert np.isfinite(v).all() and (v >= 0).all() and (v <= 1).all()
+
+    def test_sod_app_end_to_end(self, tmp_path, rng):
+        from PIL import Image
+
+        from dynamicfuion_python_tpu.apps.sod import generate_masks
+
+        in_dir = tmp_path / "color"
+        in_dir.mkdir()
+        for i in range(2):
+            Image.fromarray(
+                (rng.uniform(size=(48, 40, 3)) * 255).astype(np.uint8)
+            ).save(in_dir / f"{i:06d}.png")
+        written = generate_masks(
+            in_dir, tmp_path / "sod", checkpoint=None, resize_to=(64, 64)
+        )
+        assert len(written) == 2
+        mask = np.asarray(Image.open(written[0]))
+        assert mask.shape == (48, 40) and mask.dtype == np.uint8
