@@ -119,29 +119,27 @@ def process_frame(
     """
     if mask is not None:
         depth = np.where(mask > 0, depth, 0)
-    nodes, edges, edge_weights, clusters, anchors, weights = build_graph_for_frame(
-        depth,
-        intrinsics,
-        node_coverage=node_coverage,
-        max_neighbor_count=max_neighbor_count,
-        erosion_iterations=erosion_iterations,
-        erosion_min_neighbors=erosion_min_neighbors,
-        depth_scale=depth_scale,
-        depth_max=depth_max,
+    nodes, edges, edge_weights, clusters, anchors, weights, node_pixels = (
+        build_graph_for_frame(
+            depth,
+            intrinsics,
+            node_coverage=node_coverage,
+            max_neighbor_count=max_neighbor_count,
+            erosion_iterations=erosion_iterations,
+            erosion_min_neighbors=erosion_min_neighbors,
+            depth_scale=depth_scale,
+            depth_max=depth_max,
+            return_node_pixels=True,
+        )
     )
     node_deformations = None
     if scene_flow is not None:
-        # nearest-pixel lookup of per-node 3D motion
-        fx, fy = intrinsics[0, 0], intrinsics[1, 1]
-        cx, cy = intrinsics[0, 2], intrinsics[1, 2]
-        z = np.maximum(nodes[:, 2], 1e-6)
-        u = np.clip(
-            np.round(nodes[:, 0] / z * fx + cx).astype(int), 0, depth.shape[1] - 1
-        )
-        v = np.clip(
-            np.round(nodes[:, 1] / z * fy + cy).astype(int), 0, depth.shape[0] - 1
-        )
-        node_deformations = scene_flow[v, u].astype(np.float32)
+        # per-node 3D motion sampled at each node's SOURCE-VERTEX pixel
+        # (reference vertex_pixels path) — reprojection+rounding can land on
+        # masked/background scene-flow pixels near object boundaries
+        node_deformations = scene_flow[
+            node_pixels[:, 0], node_pixels[:, 1]
+        ].astype(np.float32)
     return nodes, edges, edge_weights, clusters, anchors, weights, node_deformations
 
 

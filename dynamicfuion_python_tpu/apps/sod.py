@@ -8,10 +8,13 @@ input frame) to the ``sod`` output folder the fusion data layer reads for
 background subtraction.
 
 Same CLI surface: ``--dataset --split --sequence_index | --input_folder``,
-``--output_folder``. Additionally ``--checkpoint`` (npz/msgpack of trained
-params — the reference's pretrained u2net.pth can be converted offline);
-without one, a deterministic seed initialization is used, which is only
-useful for smoke-testing the pipeline shape, and a warning is printed.
+``--output_folder``. Additionally ``--checkpoint``: either a torch
+``u2net.pth``/``u2netp.pth`` from the original U-2-Net release (converted
+on the fly via ``models/u2net.py:convert_u2net_checkpoint`` — pass
+``--full`` for the big model, matching the reference's default) or an
+npz/msgpack of flax variables. Without one, a deterministic seed
+initialization is used, which is only useful for smoke-testing the pipeline
+shape, and a warning is printed.
 """
 
 from __future__ import annotations
@@ -36,6 +39,26 @@ def _load_params(path: str | None, model, sample):
         )
         return model.init(jax.random.PRNGKey(0), sample)
     p = Path(path)
+    if p.suffix in (".pth", ".pt"):
+        import torch
+
+        from dynamicfuion_python_tpu.models.u2net import (
+            convert_u2net_checkpoint,
+        )
+
+        state_dict = torch.load(p, map_location="cpu")
+        variables = convert_u2net_checkpoint(state_dict)
+        import jax as _jax
+
+        template = model.init(_jax.random.PRNGKey(0), sample)
+        t_shapes = _jax.tree.map(lambda a: a.shape, template)
+        v_shapes = _jax.tree.map(lambda a: a.shape, variables)
+        if t_shapes != v_shapes:
+            raise ValueError(
+                "converted checkpoint does not match the model configuration "
+                "(use --full for u2net.pth, omit it for u2netp.pth)"
+            )
+        return variables
     if p.suffix == ".npz":
         import flax
 
@@ -55,6 +78,7 @@ def generate_masks(
     checkpoint: str | None = None,
     resize_to: tuple[int, int] = (320, 320),
     threshold: float | None = None,
+    full_model: bool = False,
 ) -> list[Path]:
     """Run SOD over every image in ``input_folder`` -> mask PNGs. Returns the
     written paths. ``threshold`` binarizes (the reference writes greyscale)."""
@@ -62,7 +86,7 @@ def generate_masks(
     import jax.numpy as jnp
     from PIL import Image
 
-    from dynamicfuion_python_tpu.models.u2net import U2NetLite
+    from dynamicfuion_python_tpu.models.u2net import U2NetFull, U2NetLite
 
     input_folder = Path(input_folder)
     output_folder = Path(output_folder)
@@ -75,7 +99,7 @@ def generate_masks(
     if not frames:
         raise FileNotFoundError(f"no images in {input_folder}")
 
-    model = U2NetLite()
+    model = U2NetFull() if full_model else U2NetLite()
     sample = jnp.zeros((1, *resize_to, 3), jnp.float32)
     params = _load_params(checkpoint, model, sample)
     apply = jax.jit(lambda p, x: model.apply(p, x)[0])
@@ -84,8 +108,10 @@ def generate_masks(
     for frame in frames:
         img = Image.open(frame).convert("RGB")
         orig_size = img.size  # (W, H)
-        arr = np.asarray(img.resize(resize_to[::-1]), np.float32) / 255.0
-        # original's normalization: max-scale then imagenet mean/std
+        arr = np.asarray(img.resize(resize_to[::-1]), np.float32)
+        # original ToTensorLab(flag=0) preprocessing (data_loader.py:222-231):
+        # scale by the per-image max, then imagenet mean/std
+        arr = arr / max(float(arr.max()), 1e-6)
         arr = (arr - np.asarray([0.485, 0.456, 0.406])) / np.asarray(
             [0.229, 0.224, 0.225]
         )
@@ -113,6 +139,12 @@ def main(argv=None) -> int:
     parser.add_argument("-i", "--input_folder", type=str, default=None)
     parser.add_argument("-o", "--output_folder", type=str, default="sod")
     parser.add_argument("-c", "--checkpoint", type=str, default=None)
+    parser.add_argument(
+        "--full",
+        action="store_true",
+        help="use the full U2NET configuration (for u2net.pth checkpoints; "
+        "default is U2NETP/lite)",
+    )
     parser.add_argument("--threshold", type=float, default=None)
     args = parser.parse_args(argv)
 
@@ -133,7 +165,11 @@ def main(argv=None) -> int:
         output_folder = seq / args.output_folder
 
     written = generate_masks(
-        input_folder, output_folder, args.checkpoint, threshold=args.threshold
+        input_folder,
+        output_folder,
+        args.checkpoint,
+        threshold=args.threshold,
+        full_model=args.full,
     )
     print(f"wrote {len(written)} masks to {output_folder}")
     return PROGRAM_EXIT_SUCCESS

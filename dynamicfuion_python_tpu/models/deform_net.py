@@ -62,6 +62,19 @@ class DeformNet(nn.Module):
     mask_threshold: float = 0.35  # eval-time hard threshold (reference
     # ``threshold_mask_predictions`` path, settings/deform_net.py:118)
     threshold_mask_predictions: bool = False
+    # bidirectional flow consistency (reference deform_net.py:192-201,
+    # settings/deform_net.py:122-128)
+    enforce_bidirectional_consistency: bool = False
+    bidirectional_consistency_threshold: float = 0.20
+    # node-count guards (reference deform_net.py:271-281; settings gn_min_nodes
+    # =4 / gn_max_nodes=300)
+    gn_min_nodes: int = 4
+    gn_max_nodes: int = 300
+    # cluster filter (reference gn_min_num_correspondences_per_cluster=2000:
+    # sum of anchor weights over valid matches per cluster — each match
+    # contributes ~1 across its 4 normalized anchor weights)
+    remove_clusters_with_few_matches: bool = True
+    min_num_correspondences_per_cluster: float = 2000.0
 
     @nn.compact
     def __call__(
@@ -92,33 +105,49 @@ class DeformNet(nn.Module):
         source_points = source[..., 3:]
         target_points = target[..., 3:]
 
-        flow2, flow3, flow4, flow5, flow6, features2 = PWCNet(name="flow_net")(
+        flow_net = PWCNet(name="flow_net")
+        flow2, flow3, flow4, flow5, flow6, features2 = flow_net(
             source_color, target_color
         )
         flow = upsample_flow_to_full(flow2, (h, w))  # [B, H, W, 2] pixels
 
-        # flow-warped target pixel coordinates
+        # flow-warped target pixel coordinates; normalized with the
+        # reference's exact convention (deform_net.py:52-71: divide by
+        # (dim - 1), *2-1) and sampled with align_corners=False semantics
+        # (grid_sample_normalized)
         vg, ug = jnp.mgrid[0:h, 0:w].astype(jnp.float32)
         warped_u = ug[None] + flow[..., 0]
         warped_v = vg[None] + flow[..., 1]
-        # normalized coords for grid sampling ([-1, 1], corner-aligned)
         nx = 2.0 * warped_u / (w - 1) - 1.0
         ny = 2.0 * warped_v / (h - 1) - 1.0
         coords = jnp.stack([nx, ny], axis=-1)
 
         target_matches = jax.vmap(grid_sample_normalized)(target_points, coords)
 
-        valid_source = source_points[..., 2] > 0
-        valid_target = (target_matches[..., 2] > 0) & (
-            target_matches[..., 2] <= self.depth_max
+        # validity masks (reference construct_point_to_point_correspondences,
+        # deform_net.py:635-684): source depth in (0, max]; ALL 4 anchors
+        # valid; target-match depth in (0, max]; and the sampled-validity
+        # >= 0.999 rule — a float validity image is bilinearly sampled at the
+        # same warped coords (zeros padding), so any correspondence touching
+        # an invalid or out-of-bounds target pixel is rejected.
+        anchors_valid = jnp.all(pixel_anchors >= 0, axis=-1)
+        valid_source = (
+            (source_points[..., 2] > 0)
+            & (source_points[..., 2] <= self.depth_max)
+            & anchors_valid
         )
-        anchors_valid = jnp.all(pixel_anchors >= 0, axis=-1) | (
-            pixel_anchors[..., 0] >= 0
+        target_validity_image = (
+            (target_points[..., 2] > 0) & (target_points[..., 2] <= self.depth_max)
+        ).astype(jnp.float32)[..., None]
+        sampled_validity = jax.vmap(grid_sample_normalized)(
+            target_validity_image, coords
+        )[..., 0]
+        valid_target = (
+            (target_matches[..., 2] > 0)
+            & (target_matches[..., 2] <= self.depth_max)
+            & (sampled_validity >= 0.999)
         )
-        in_bounds = (jnp.abs(nx) <= 0.999) & (jnp.abs(ny) <= 0.999)
-        correspondence_mask = (
-            valid_source & valid_target & anchors_valid & in_bounds
-        )
+        correspondence_mask = valid_source & valid_target
 
         mask_prediction = None
         correspondence_weights = correspondence_mask.astype(jnp.float32)
@@ -135,9 +164,32 @@ class DeformNet(nn.Module):
                 weights = jnp.where(weights >= self.mask_threshold, weights, 0.0)
             correspondence_weights = correspondence_weights * weights
 
+        # bidirectional flow consistency (reference deform_net.py:192-201):
+        # run the flow net backwards, project the round-trip flow into camera
+        # space via source depth, and reject correspondences that do not
+        # return near their origin.
+        if self.enforce_bidirectional_consistency:
+            flow2_back = flow_net(target_color, source_color)[0]
+            flow_back = upsample_flow_to_full(flow2_back, (h, w))
+            f_xy = jnp.stack(
+                [intrinsics[:, 0, 0], intrinsics[:, 1, 1]], axis=-1
+            )  # [B, 2]
+            round_trip = flow + flow_back  # [B, H, W, 2] pixels
+            flow_camera = (
+                round_trip
+                * source_points[..., 2:3]
+                / f_xy[:, None, None, :]
+            )
+            projection_error = jnp.linalg.norm(flow_camera, axis=-1)
+            bidir_ok = projection_error < self.bidirectional_consistency_threshold
+            correspondence_mask = correspondence_mask & bidir_ok
+            correspondence_weights = jnp.where(
+                bidir_ok, correspondence_weights, 0.0
+            )
+
         # ---- per-batch GN solve (static match capacity = H*W) -------------
         def solve_one(nodes, edges, edge_w, anchors, anchor_w, pts, cw, uvs, zs, intr):
-            rot, trans, losses = optimize_point_cloud_alignment(
+            result = optimize_point_cloud_alignment(
                 nodes,
                 edges,
                 edge_w,
@@ -151,11 +203,16 @@ class DeformNet(nn.Module):
                 num_nodes=self.num_nodes or graph_nodes.shape[1],
                 config=self.gn_config,
             )
-            return rot, trans, losses
+            return (
+                result.rotations,
+                result.translations,
+                result.losses,
+                result.valid_solve,
+            )
 
         uv_targets = jnp.stack([warped_u, warped_v], axis=-1)
         cw_solver = correspondence_weights * correspondence_mask
-        rot, trans, gn_losses = jax.vmap(solve_one)(
+        rot, trans, gn_losses, gn_valid = jax.vmap(solve_one)(
             graph_nodes,
             graph_edges,
             graph_edges_weights,
@@ -169,35 +226,65 @@ class DeformNet(nn.Module):
         )
 
         # ---- cluster validity (post-solve masking; the reference removes
-        # nodes of clusters with total correspondence weight below
+        # nodes of clusters with total anchor-weight sum below
         # ``gn_min_num_correspondences_per_cluster`` before solving,
-        # deform_net.py:366-449 — we keep the graph static and mask after) --
+        # deform_net.py:366-449 — we keep the graph static and mask after).
+        # Per reference :372-378, a node's match weight is the sum of its
+        # pixel ANCHOR weights over valid correspondences (each valid match
+        # distributes ~1 across its 4 normalized anchor weights), so the
+        # reference default threshold of 2000 transfers directly.
         n = graph_nodes.shape[1]
 
-        def node_weights_one(anchors, cw):
+        def node_weights_one(anchors, anchor_w, valid):
             flat_a = jnp.maximum(anchors, 0).reshape(-1)
-            flat_w = jnp.repeat(cw.reshape(-1), 4) * (
-                anchors.reshape(-1) >= 0
+            flat_w = (
+                anchor_w.reshape(-1)
+                * (anchors.reshape(-1) >= 0)
+                * jnp.repeat(valid.reshape(-1).astype(jnp.float32), 4)
             )
             return jax.ops.segment_sum(flat_w, flat_a, num_segments=n)
 
         per_node_weight = jax.vmap(node_weights_one)(
-            pixel_anchors, cw_solver
+            pixel_anchors, pixel_weights, correspondence_mask
         )  # [B, N]
 
         def cluster_weights_one(clusters, node_w):
             safe = jnp.maximum(clusters, 0)
             csum = jax.ops.segment_sum(node_w, safe, num_segments=n)
-            return csum[safe]
+            return jnp.where(clusters >= 0, csum[safe], 0.0)
 
-        cluster_weight_of_node = jax.vmap(cluster_weights_one)(
-            graph_clusters, per_node_weight
+        if self.remove_clusters_with_few_matches:
+            cluster_weight_of_node = jax.vmap(cluster_weights_one)(
+                graph_clusters, per_node_weight
+            )
+            deformations_validity = (per_node_weight > 0.0) & (
+                cluster_weight_of_node >= self.min_num_correspondences_per_cluster
+            )
+        else:
+            deformations_validity = per_node_weight > 0.0
+
+        # node-count guard (reference deform_net.py:271-281: solver is skipped
+        # outright when the graph has too few/too many real nodes) + the
+        # GN failure flags + at-least-one-valid-correspondence guard
+        real_node_count = jnp.sum(graph_clusters >= 0, axis=-1)  # [B]
+        node_count_ok = (real_node_count >= self.gn_min_nodes) & (
+            real_node_count <= self.gn_max_nodes
         )
-        min_cluster_weight = 10.0  # reference gn_min_num_correspondences_per_cluster=2000 raw pixels; weights here are [0,1]-valued
+        correspondences_exist = jnp.any(correspondence_mask, axis=(1, 2))
+        valid_solve = (
+            gn_valid
+            & node_count_ok
+            & correspondences_exist
+            & jnp.any(deformations_validity, axis=-1)
+        ).astype(jnp.uint8)
         deformations_validity = (
-            (per_node_weight > 0.0) & (cluster_weight_of_node >= min_cluster_weight)
+            deformations_validity & (valid_solve[:, None] > 0)
         )
-        valid_solve = jnp.any(deformations_validity, axis=-1).astype(jnp.uint8)
+        # freeze transforms at identity for invalid solves, like the
+        # reference which never writes them (deform_net.py:515-522)
+        eye = jnp.broadcast_to(jnp.eye(3, dtype=rot.dtype), rot.shape)
+        rot = jnp.where(valid_solve[:, None, None, None] > 0, rot, eye)
+        trans = jnp.where(valid_solve[:, None, None] > 0, trans, 0.0)
 
         # ---- dense warp of source points (training target) ----------------
         def warp_points_one(nodes, rot_i, trans_i, anchors, weights, pts):

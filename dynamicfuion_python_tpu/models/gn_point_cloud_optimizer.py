@@ -42,6 +42,27 @@ class GnConfig(NamedTuple):
     lambda_data_depth: float = 1.0
     lambda_arap: float = 1.0
     use_edge_weighting: bool = False
+    # failure machinery (reference point_cloud_alignment_optimizer.py:219-267)
+    check_condition_num: bool = False
+    break_on_condition_num: bool = True
+    max_condition_num: float = 1e6
+
+
+class GnResult(NamedTuple):
+    """Solve outputs + failure telemetry.
+
+    ``valid_solve`` mirrors the reference's ``ill_posed_system`` /
+    non-finite-solution guards (``point_cloud_alignment_optimizer.py:219-267``
+    and ``deform_net.py:515-522``): 0 means at least one GN iteration produced
+    a non-finite update (or tripped the condition-number cutoff) — callers
+    must discard the transforms (they are frozen at the last valid state).
+    """
+
+    rotations: jnp.ndarray  # f32[N, 3, 3]
+    translations: jnp.ndarray  # f32[N, 3]
+    losses: jnp.ndarray  # f32[iterations]
+    valid_solve: jnp.ndarray  # bool[]
+    condition_numbers: jnp.ndarray  # f32[iterations] (inf when not checked)
 
 
 def _match_residual(
@@ -127,7 +148,8 @@ def optimize_point_cloud_alignment(
     initial_rotations: jnp.ndarray | None = None,
     initial_translations: jnp.ndarray | None = None,
 ):
-    """Returns (rotations f32[N,3,3], translations f32[N,3], residual_norm).
+    """Returns a :class:`GnResult` (rotations, translations, per-iteration
+    losses, valid_solve flag, per-iteration condition numbers).
 
     Fully differentiable wrt network-produced inputs (``target_uv``,
     ``correspondence_weights``) — gradients flow through the dense solve.
@@ -156,7 +178,7 @@ def optimize_point_cloud_alignment(
     anchor_w = jnp.where(source_anchors >= 0, source_anchor_weights, 0.0)
 
     def gn_iteration(state, _):
-        rot, trans = state
+        rot, trans, valid = state
         anchor_nodes = graph_nodes[safe_anchor]  # [M, 4, 3]
         jac = _match_res_jac(
             jnp.zeros((4, 6), jnp.float32),
@@ -242,6 +264,28 @@ def optimize_point_cloud_alignment(
         h_dense = h_dense + config.lm_factor * jnp.eye(6 * n)
         delta = jnp.linalg.solve(h_dense, g.reshape(-1)).reshape(n, 6)
 
+        # ---- failure guards (reference solve_linear_system, ----------------
+        # point_cloud_alignment_optimizer.py:219-267): non-finite solution
+        # and (optional) condition-number cutoff mark the solve invalid; the
+        # state freezes at the last valid iterate from then on.
+        if config.check_condition_num:
+            eigs = jnp.abs(
+                jnp.linalg.eigvalsh(jax.lax.stop_gradient(h_dense))
+            )
+            condition_number = jnp.max(eigs) / jnp.maximum(jnp.min(eigs), 1e-30)
+            if config.break_on_condition_num:
+                cond_ok = jnp.isfinite(condition_number) & (
+                    condition_number <= config.max_condition_num
+                )
+            else:
+                cond_ok = jnp.array(True)
+        else:
+            condition_number = jnp.array(jnp.inf, jnp.float32)
+            cond_ok = jnp.array(True)
+        step_ok = jnp.all(jnp.isfinite(delta)) & cond_ok
+        delta = jnp.where(step_ok, jnp.where(jnp.isfinite(delta), delta, 0.0), 0.0)
+        valid = valid & step_ok
+
         new_rot = jnp.einsum(
             "nab,nbc->nac",
             axis_angle_to_matrix(delta[:, :3]),
@@ -249,10 +293,18 @@ def optimize_point_cloud_alignment(
             precision=_P,
         )
         new_trans = trans + delta[:, 3:]
+        new_rot = jnp.where(valid, new_rot, rot)
+        new_trans = jnp.where(valid, new_trans, trans)
         loss = jnp.sum(res_w**2) + jnp.sum(e_res**2)
-        return (new_rot, new_trans), loss
+        return (new_rot, new_trans, valid), (loss, condition_number)
 
-    (rot, trans), losses = jax.lax.scan(
-        gn_iteration, (rot, trans), None, length=config.num_iterations
+    (rot, trans, valid), (losses, condition_numbers) = jax.lax.scan(
+        gn_iteration,
+        (rot, trans, jnp.array(True)),
+        None,
+        length=config.num_iterations,
     )
-    return rot, trans, losses
+    # final residual sanity (reference deform_net.py:515: writes solutions
+    # only when torch.isfinite(residuals).all())
+    valid = valid & jnp.isfinite(losses[-1])
+    return GnResult(rot, trans, losses, valid, condition_numbers)

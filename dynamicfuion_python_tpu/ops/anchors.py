@@ -16,7 +16,8 @@ Capability parity with the reference's
     underflows, ``NormalizeAnchorWeights``, ``WarpUtilities.h:33-45``).
 
 The shortest-path (geodesic) variant lives with graph construction
-(host-side; see ``ops/geodesic.py``) since it is only used at graph build.
+(host-side; see ``ops/graph_construction.py``) since it is only used at
+graph build.
 """
 
 from __future__ import annotations

@@ -52,12 +52,15 @@ def bilinear_sample(
 def grid_sample_normalized(
     image_chw_last: jnp.ndarray, coords: jnp.ndarray
 ) -> jnp.ndarray:
-    """torch ``grid_sample``-compatible (align_corners=False is NOT used by
-    the reference; it uses the default align_corners behavior of older torch,
-    i.e. corners aligned): coords [..., 2] in [-1, 1] -> samples [..., C]."""
+    """torch ``grid_sample(..., padding_mode='zeros', align_corners=False)``
+    -compatible sampling, as used by the reference's correspondence
+    construction (``alignment/deform_net.py:661-663``): with
+    align_corners=False, normalized coordinate -1 maps to the *outer edge* of
+    the corner pixel, so pixel centers sit at ``u = ((x + 1) * W - 1) / 2``.
+    coords [..., 2] in [-1, 1] -> samples [..., C]."""
     h, w = image_chw_last.shape[:2]
-    u = (coords[..., 0] + 1.0) * 0.5 * (w - 1)
-    v = (coords[..., 1] + 1.0) * 0.5 * (h - 1)
+    u = ((coords[..., 0] + 1.0) * w - 1.0) * 0.5
+    v = ((coords[..., 1] + 1.0) * h - 1.0) * 0.5
     return bilinear_sample(image_chw_last, u, v)
 
 

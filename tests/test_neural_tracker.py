@@ -96,7 +96,7 @@ class TestGnOptimizer:
         nodes, edges, edge_w, pts, anchors, w, u, v, moved = (
             _synthetic_alignment_problem(rng)
         )
-        rot, trans, losses = optimize_point_cloud_alignment(
+        result = optimize_point_cloud_alignment(
             jnp.asarray(nodes),
             jnp.asarray(edges),
             jnp.asarray(edge_w),
@@ -111,9 +111,10 @@ class TestGnOptimizer:
             config=GnConfig(num_iterations=3, lm_factor=0.01),
         )
         np.testing.assert_allclose(
-            np.asarray(trans), [[0.02, -0.01, 0.03]] * 9, atol=2e-3
+            np.asarray(result.translations), [[0.02, -0.01, 0.03]] * 9, atol=2e-3
         )
-        assert float(losses[-1]) < float(losses[0])
+        assert float(result.losses[-1]) < float(result.losses[0])
+        assert bool(result.valid_solve)
 
     def test_zero_weight_matches_are_inert(self, rng):
         nodes, edges, edge_w, pts, anchors, w, u, v, moved = (
@@ -124,7 +125,7 @@ class TestGnOptimizer:
         u2[:100] += 500.0
         cw = np.ones(len(pts), np.float32)
         cw[:100] = 0.0
-        rot, trans, _ = optimize_point_cloud_alignment(
+        result = optimize_point_cloud_alignment(
             jnp.asarray(nodes),
             jnp.asarray(edges),
             jnp.asarray(edge_w),
@@ -139,7 +140,7 @@ class TestGnOptimizer:
             config=GnConfig(num_iterations=3, lm_factor=0.01),
         )
         np.testing.assert_allclose(
-            np.asarray(trans), [[0.02, -0.01, 0.03]] * 9, atol=3e-3
+            np.asarray(result.translations), [[0.02, -0.01, 0.03]] * 9, atol=3e-3
         )
 
     def test_differentiable_through_solve(self, rng):
@@ -148,7 +149,7 @@ class TestGnOptimizer:
         )
 
         def loss_fn(uv):
-            _, trans, _ = optimize_point_cloud_alignment(
+            result = optimize_point_cloud_alignment(
                 jnp.asarray(nodes),
                 jnp.asarray(edges),
                 jnp.asarray(edge_w),
@@ -162,12 +163,88 @@ class TestGnOptimizer:
                 num_nodes=9,
                 config=GnConfig(num_iterations=2, lm_factor=0.01),
             )
-            return jnp.sum(trans**2)
+            return jnp.sum(result.translations**2)
 
         grad = jax.grad(loss_fn)(jnp.asarray(np.stack([u, v], -1)))
         g = np.asarray(grad)
         assert np.isfinite(g).all()
         assert np.abs(g).max() > 0
+
+    def test_non_finite_input_marks_solve_invalid(self, rng):
+        """Reference guard parity (point_cloud_alignment_optimizer.py:260-267
+        + deform_net.py:515): a degenerate system must produce valid_solve=0
+        and leave the transforms at their initial (identity) state instead of
+        poisoning downstream consumers with NaNs."""
+        nodes, edges, edge_w, pts, anchors, w, u, v, moved = (
+            _synthetic_alignment_problem(rng)
+        )
+        u_bad = np.full_like(u, np.nan)
+        result = optimize_point_cloud_alignment(
+            jnp.asarray(nodes),
+            jnp.asarray(edges),
+            jnp.asarray(edge_w),
+            jnp.asarray(pts),
+            jnp.asarray(anchors),
+            jnp.asarray(w),
+            jnp.ones(len(pts)),
+            jnp.asarray(np.stack([u_bad, v], -1)),
+            jnp.asarray(moved[:, 2]),
+            INTR,
+            num_nodes=9,
+            config=GnConfig(num_iterations=3, lm_factor=0.01),
+        )
+        assert not bool(result.valid_solve)
+        np.testing.assert_allclose(
+            np.asarray(result.rotations), np.broadcast_to(np.eye(3), (9, 3, 3))
+        )
+        np.testing.assert_allclose(np.asarray(result.translations), 0.0)
+
+    def test_condition_number_guard(self, rng):
+        """check_condition_num + break_on_condition_num invalidate a solve on
+        an ill-conditioned system (no correspondences at all -> H = lm*I plus
+        nothing; condition number fine — so instead use a huge cutoff test:
+        a healthy problem passes with the check enabled)."""
+        nodes, edges, edge_w, pts, anchors, w, u, v, moved = (
+            _synthetic_alignment_problem(rng)
+        )
+        ok = optimize_point_cloud_alignment(
+            jnp.asarray(nodes),
+            jnp.asarray(edges),
+            jnp.asarray(edge_w),
+            jnp.asarray(pts),
+            jnp.asarray(anchors),
+            jnp.asarray(w),
+            jnp.ones(len(pts)),
+            jnp.asarray(np.stack([u, v], -1)),
+            jnp.asarray(moved[:, 2]),
+            INTR,
+            num_nodes=9,
+            config=GnConfig(
+                num_iterations=2, lm_factor=0.01, check_condition_num=True,
+                max_condition_num=1e12,
+            ),
+        )
+        assert bool(ok.valid_solve)
+        assert np.isfinite(np.asarray(ok.condition_numbers)).all()
+        # an absurdly strict cutoff must trip the guard
+        strict = optimize_point_cloud_alignment(
+            jnp.asarray(nodes),
+            jnp.asarray(edges),
+            jnp.asarray(edge_w),
+            jnp.asarray(pts),
+            jnp.asarray(anchors),
+            jnp.asarray(w),
+            jnp.ones(len(pts)),
+            jnp.asarray(np.stack([u, v], -1)),
+            jnp.asarray(moved[:, 2]),
+            INTR,
+            num_nodes=9,
+            config=GnConfig(
+                num_iterations=2, lm_factor=0.01, check_condition_num=True,
+                max_condition_num=1.5,
+            ),
+        )
+        assert not bool(strict.valid_solve)
 
 
 class TestNetworks:
@@ -494,6 +571,49 @@ class TestSod:
             assert o.shape == (1, 64, 64, 1)
             v = np.asarray(o)
             assert np.isfinite(v).all() and (v >= 0).all() and (v <= 1).all()
+
+    def test_u2netp_checkpoint_conversion_parity(self, rng):
+        """Pretrained-checkpoint compatibility (VERDICT gap #9 / reference
+        ``run_sod.py``): build the ORIGINAL torch U2NETP (vendored in the
+        reference as 3rd-party/U-2-Net — used here purely as a parity
+        oracle), convert its randomly-initialized state_dict with
+        ``convert_u2net_checkpoint``, and require matching saliency output
+        from the flax model in inference (running-average BatchNorm) mode."""
+        torch = pytest.importorskip("torch")
+        import sys as _sys
+
+        u2net_dir = "/root/reference/3rd-party/U-2-Net"
+        if u2net_dir not in _sys.path:
+            _sys.path.insert(0, u2net_dir)
+        try:
+            from model.u2net import U2NETP  # noqa: E501  original torch model
+        except Exception as exc:  # pragma: no cover - reference not mounted
+            pytest.skip(f"original U-2-Net not importable: {exc}")
+
+        from dynamicfuion_python_tpu.models.u2net import (
+            U2NetLite,
+            convert_u2net_checkpoint,
+        )
+
+        torch.manual_seed(7)
+        torch_model = U2NETP(3, 1).eval()
+        # randomize running stats so BatchNorm conversion is actually tested
+        with torch.no_grad():
+            for m in torch_model.modules():
+                if isinstance(m, torch.nn.BatchNorm2d):
+                    m.running_mean.normal_(0.0, 0.05)
+                    m.running_var.uniform_(0.5, 1.5)
+
+        x = rng.uniform(size=(1, 3, 64, 64)).astype(np.float32)
+        with torch.no_grad():
+            want = torch_model(torch.from_numpy(x))[0].numpy()[0, 0]
+
+        variables = convert_u2net_checkpoint(torch_model.state_dict())
+        model = U2NetLite()
+        got = np.asarray(
+            model.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)))[0]
+        )[0, ..., 0]
+        np.testing.assert_allclose(got, want, atol=2e-4)
 
     def test_sod_app_end_to_end(self, tmp_path, rng):
         from PIL import Image
