@@ -86,6 +86,20 @@ class FusionPipeline:
         # current camera space; updated by rigid odometry each frame
         self.extrinsics = jnp.eye(4)
         self.previous_depth: jnp.ndarray | None = None
+        self.frames_processed = 0
+        # --- neural tracking prior / tracking-span bookkeeping -------------
+        # keyframe state: the source frame the prior tracks FROM, plus the
+        # cumulative node transforms at that keyframe (reference
+        # prepare_motion_graph_for_integration, pipeline.py:468-500).
+        # FIRST_TO_CURRENT never rolls the keyframe; PREVIOUS_TO_CURRENT
+        # rolls every frame; KEYFRAME_TO_CURRENT every keyframe_interval.
+        self.prior = None
+        self.keyframe_source: tuple | None = None  # (depth, color) numpy
+        self.keyframe_rotations: jnp.ndarray | None = None  # [N, 3, 3]
+        self.keyframe_translations: jnp.ndarray | None = None  # [N, 3]
+        self.keyframe_anchors: tuple | None = None  # (anchors, weights)
+        self.node_graph_edges: np.ndarray | None = None  # flat 8-NN edges
+        self.renderer = None
         a = params.alignment
         self.fitter_config = FitterConfig(
             max_iterations=a.max_iteration_count,
@@ -102,7 +116,19 @@ class FusionPipeline:
 
     # -- first frame ---------------------------------------------------------
 
-    def initialize(self, depth: np.ndarray, color: np.ndarray | None):
+    def initialize(
+        self,
+        depth: np.ndarray,
+        color: np.ndarray | None,
+        frame_graph: dict | None = None,
+    ):
+        """Rigid-integrate the first frame and build the deformation graph
+        per ``graph_generation_mode`` (reference ``initialize_graph_and_anchors``,
+        ``apps/fusion/pipeline.py:502-559``). ``frame_graph`` supplies the
+        precomputed blobs for FIRST_FRAME_LOADED_GRAPH (normally from
+        ``FrameSequenceDataset.get_frame_graph``)."""
+        from dynamicfuion_python_tpu.settings import GraphGenerationMode
+
         p = self.params
         depth_j = jnp.asarray(depth)
         keys = self.volume.compute_unique_block_coordinates(
@@ -113,31 +139,65 @@ class FusionPipeline:
             jnp.asarray(color, jnp.float32) / 255.0 if color is not None else None
         )
         self.volume = self.volume.integrate(depth_j, self.intrinsics, color=color_j)
+        self._refresh_canonical_mesh()
 
-        # graph from the depth image (GraphGenerationMode.FIRST_FRAME_DEPTH_IMAGE)
-        points, mask = unproject_depth_image(
-            depth_j,
-            self.intrinsics,
-            p.fusion.depth_scale,
-            p.fusion.far_clip_distance,
-        )
-        verts, vert_pixels, faces = mesh_from_depth_image(
-            np.asarray(points), max_triangle_edge_distance=2 * p.graph.node_coverage
-        )
-        erosion = vertex_erosion_mask(
-            verts,
-            faces,
-            p.graph.erosion_num_iterations,
-            p.graph.erosion_min_neighbors,
-        )
-        nodes, node_vertex_idx = sample_nodes(
-            verts, erosion, p.graph.node_coverage, use_only_non_eroded=True
-        )
-        if len(nodes) < p.graph.anchor_count:
-            # tiny scene fallback: sample without erosion
-            nodes, node_vertex_idx = sample_nodes(
-                verts, None, p.graph.node_coverage, use_only_non_eroded=False
+        mode = p.fusion.graph_generation_mode
+        if mode == GraphGenerationMode.FIRST_FRAME_EXTRACTED_MESH:
+            # reference default: sample nodes on the extracted canonical mesh
+            faces = np.asarray(self.canonical_triangles)[
+                : self.canonical_triangle_count
+            ]
+            verts = np.asarray(self.canonical_vertices)
+            erosion = vertex_erosion_mask(
+                verts,
+                faces,
+                p.graph.erosion_num_iterations,
+                p.graph.erosion_min_neighbors,
             )
+            nodes, _ = sample_nodes(
+                verts, erosion, p.graph.node_coverage, use_only_non_eroded=True
+            )
+            if len(nodes) < p.graph.anchor_count:
+                used = np.zeros(len(verts), bool)
+                used[faces.reshape(-1)] = True
+                nodes, _ = sample_nodes(
+                    verts, used, p.graph.node_coverage, use_only_non_eroded=True
+                )
+        elif mode == GraphGenerationMode.FIRST_FRAME_LOADED_GRAPH:
+            if frame_graph is None:
+                raise ValueError(
+                    "graph_generation_mode=FIRST_FRAME_LOADED_GRAPH but no "
+                    "precomputed graph was found for the first frame (run "
+                    "apps/create_graph_data on the sequence first)"
+                )
+            nodes = np.asarray(frame_graph["nodes"], np.float32)
+        elif mode == GraphGenerationMode.FIRST_FRAME_DEPTH_IMAGE:
+            points, mask = unproject_depth_image(
+                depth_j,
+                self.intrinsics,
+                p.fusion.depth_scale,
+                p.fusion.far_clip_distance,
+            )
+            verts, vert_pixels, faces = mesh_from_depth_image(
+                np.asarray(points),
+                max_triangle_edge_distance=2 * p.graph.node_coverage,
+            )
+            erosion = vertex_erosion_mask(
+                verts,
+                faces,
+                p.graph.erosion_num_iterations,
+                p.graph.erosion_min_neighbors,
+            )
+            nodes, _ = sample_nodes(
+                verts, erosion, p.graph.node_coverage, use_only_non_eroded=True
+            )
+            if len(nodes) < p.graph.anchor_count:
+                # tiny scene fallback: sample without erosion
+                nodes, _ = sample_nodes(
+                    verts, None, p.graph.node_coverage, use_only_non_eroded=False
+                )
+        else:
+            raise NotImplementedError(f"graph generation mode {mode}")
         self.warp_field = HierarchicalGraphWarpField.build(
             nodes,
             node_coverage=p.graph.node_coverage,
@@ -150,25 +210,297 @@ class FusionPipeline:
             threshold_nodes_by_distance=p.graph.minimum_valid_anchor_count > 0,
             coverage_method=NodeCoverageMethod.FIXED,
         )
-        self._refresh_canonical_mesh()
+        self._reset_keyframe(depth, color)
+
+    def _extraction_weight_threshold(self) -> float:
+        """Reference ``determine_mesh_extraction_threshold``
+        (``pipeline.py:451-462``): constant, or ramping up with the frame
+        count so early low-confidence voxels still produce a surface."""
+        from dynamicfuion_python_tpu.settings import (
+            MeshExtractionWeightThresholdingMode,
+        )
+
+        f = self.params.fusion
+        threshold = f.mesh_extraction_weight_threshold
+        if (
+            f.mesh_extraction_weight_thresholding_mode
+            == MeshExtractionWeightThresholdingMode.CONSTANT
+        ):
+            return threshold
+        return min(float(self.frames_processed), threshold)
 
     def _refresh_canonical_mesh(self):
-        tris, count = self.volume.extract_triangle_soup(
-            max_triangles=self.params.fusion.extraction_max_triangles
+        """Extract the WELDED canonical mesh and size the fitter's static
+        arrays to the actual surface (VERDICT weak #5: the old path fed the
+        full ``max_triangles*3`` padded soup into the per-fit anchor KNN).
+
+        Capacities are bucketed to powers of two so shapes only change (and
+        the fit program only recompiles) when the surface roughly doubles.
+        """
+        verts, faces, v_count, t_count = self.volume.extract_triangle_mesh(
+            max_triangles=self.params.fusion.extraction_max_triangles,
+            weight_threshold=self._extraction_weight_threshold(),
         )
-        self.canonical_mesh_soup = np.asarray(tris)[: int(count)]
-        # keep FULL static-capacity arrays for the fitter so per-frame shapes
-        # never change (padding triangles sit at the origin, z=0, and are
-        # culled by the rasterizer's near-plane test)
-        self.canonical_vertices = tris.reshape(-1, 3)
-        self.canonical_triangles = jnp.arange(
-            tris.shape[0] * 3, dtype=jnp.int32
-        ).reshape(-1, 3)
+        v_count = int(v_count)
+        t_count = int(t_count)
+        v_cap = _capacity_bucket(v_count + 1)  # +1: reserve a padding slot
+        t_cap = _capacity_bucket(t_count)
+        verts_np = np.zeros((v_cap, 3), np.float32)
+        take_v = min(v_count, v_cap - 1)
+        verts_np[:take_v] = np.asarray(verts[:take_v])
+        faces_np = np.asarray(faces[:t_cap]).astype(np.int32)
+        # padding faces reference the reserved origin vertex (z=0), which the
+        # rasterizer's near-plane test culls; also clamp any index past the
+        # vertex capacity
+        faces_np[min(t_count, t_cap):] = v_cap - 1
+        faces_np = np.clip(faces_np, 0, v_cap - 1)
+        self.canonical_vertices = jnp.asarray(verts_np)
+        self.canonical_triangles = jnp.asarray(faces_np)
+        self.canonical_triangle_count = min(t_count, t_cap)
+        self.canonical_mesh_soup = verts_np[
+            faces_np[: self.canonical_triangle_count]
+        ]
+
+    # -- neural tracking prior / tracking-span machinery ----------------------
+
+    def _reset_keyframe(self, depth: np.ndarray, color: np.ndarray | None):
+        """Snapshot the current frame + cumulative node transforms as the
+        tracking source (reference keyframe bookkeeping, pipeline.py:425-436)."""
+        self.keyframe_source = (np.asarray(depth), color)
+        self.keyframe_rotations = self.warp_field.node_rotations
+        self.keyframe_translations = self.warp_field.node_translations
+        self.keyframe_anchors = None
+
+    def _keyframe_should_roll(self) -> bool:
+        from dynamicfuion_python_tpu.settings import TrackingSpanMode
+
+        span = self.params.fusion.tracking_span_mode
+        if span == TrackingSpanMode.PREVIOUS_TO_CURRENT:
+            return True
+        if span == TrackingSpanMode.KEYFRAME_TO_CURRENT:
+            return (
+                self.frames_processed % self.params.fusion.keyframe_interval
+                == 0
+            )
+        return False  # FIRST_TO_CURRENT
+
+    def _prior_source_rgbxyz(self) -> jnp.ndarray:
+        """Source RGBD estimate per ``source_image_mode`` (reference
+        pipeline.py:243-274): the saved keyframe frame, the rendered current
+        model estimate, or the rendered estimate overlaid with the keyframe
+        pixels."""
+        from dynamicfuion_python_tpu.models.tracking_prior import (
+            rgbxyz_from_depth,
+        )
+        from dynamicfuion_python_tpu.settings import SourceImageMode
+
+        p = self.params
+        kf_depth, kf_color = self.keyframe_source
+        mode = p.fusion.source_image_mode
+        if mode == SourceImageMode.IMAGE_ONLY:
+            return rgbxyz_from_depth(
+                kf_depth,
+                kf_color,
+                self.intrinsics,
+                p.fusion.depth_scale,
+                p.fusion.far_clip_distance,
+            )
+        # rendered modes: forward-warp the canonical mesh by the current
+        # field state and render it (reference renderer.render_mesh path)
+        if self.renderer is None:
+            from dynamicfuion_python_tpu.models.renderer import MeshRenderer
+
+            self.renderer = MeshRenderer(
+                kf_depth.shape[:2], self.intrinsics
+            )
+        warped_verts = self.warp_field.warp_points(self.canonical_vertices)
+        color_r, depth_r = self.renderer.render_mesh(
+            warped_verts, self.canonical_triangles
+        )
+        depth_mm = np.asarray(depth_r) * p.fusion.depth_scale
+        color_u8 = np.asarray(jnp.clip(color_r, 0, 1) * 255).astype(np.uint8)
+        if mode == SourceImageMode.RENDERED_WITH_PREVIOUS_FRAME_OVERLAY:
+            kf_valid = kf_depth > 0
+            depth_mm = np.where(kf_valid, kf_depth, depth_mm)
+            if kf_color is not None:
+                color_u8 = np.where(kf_valid[..., None], kf_color, color_u8)
+        return rgbxyz_from_depth(
+            depth_mm.astype(np.float32),
+            color_u8,
+            self.intrinsics,
+            p.fusion.depth_scale,
+            p.fusion.far_clip_distance,
+        )
+
+    def _prior_pixel_anchors(self, source_points: np.ndarray):
+        """Pixel anchors for the prior's source image versus the
+        warped-at-keyframe node positions, per
+        ``pixel_anchor_computation_mode`` (reference compute_pixel_anchors,
+        pipeline.py:561-591). Cached until the keyframe rolls."""
+        if self.keyframe_anchors is not None:
+            return self.keyframe_anchors
+        from dynamicfuion_python_tpu.settings import AnchorComputationMode
+
+        p = self.params
+        # node positions as warped at the keyframe: g + t_k
+        nodes_kf = np.asarray(self.warp_field.node_positions) + np.asarray(
+            self.keyframe_translations
+        )
+        mode = p.fusion.pixel_anchor_computation_mode
+        if mode == AnchorComputationMode.SHORTEST_PATH:
+            from dynamicfuion_python_tpu.ops.graph_construction import (
+                compute_pixel_anchors_shortest_path,
+            )
+
+            anchors, weights = compute_pixel_anchors_shortest_path(
+                np.asarray(source_points),
+                nodes_kf,
+                self._node_graph_edges(),
+                p.graph.anchor_count,
+                p.graph.node_coverage,
+            )
+            anchors = jnp.asarray(anchors)
+            weights = jnp.asarray(weights)
+        else:  # EUCLIDEAN (PRECOMPUTED handled by run_fusion for frame 0)
+            from dynamicfuion_python_tpu.ops.anchors import (
+                compute_anchors_euclidean,
+            )
+
+            h, w = source_points.shape[:2]
+            anchors, weights, _ = compute_anchors_euclidean(
+                jnp.asarray(source_points).reshape(-1, 3),
+                jnp.asarray(nodes_kf),
+                p.graph.anchor_count,
+                node_coverage=p.graph.node_coverage,
+                minimum_valid_anchor_count=p.graph.minimum_valid_anchor_count,
+                use_threshold=True,
+            )
+            anchors = anchors.reshape(h, w, -1)
+            weights = weights.reshape(h, w, -1)
+        self.keyframe_anchors = (anchors, weights)
+        return self.keyframe_anchors
+
+    def _node_graph_edges(self) -> np.ndarray:
+        """Flat Euclidean 8-NN node adjacency (the reference's NNRT graph
+        edges role) for shortest-path pixel anchors; built once per graph."""
+        if self.node_graph_edges is None:
+            from dynamicfuion_python_tpu.ops.graph_construction import (
+                compute_edges_euclidean,
+            )
+
+            self.node_graph_edges = compute_edges_euclidean(
+                np.asarray(self.warp_field.node_positions),
+                self.params.graph.neighbor_count,
+                self.params.graph.node_coverage,
+            )[0]
+        return self.node_graph_edges
+
+    def _apply_prior(
+        self,
+        depth_j: jnp.ndarray,
+        color: np.ndarray | None,
+        target_points: jnp.ndarray,
+        prior_flow: np.ndarray | None,
+    ) -> dict:
+        """Run the neural tracking prior (keyframe -> current) and compose
+        the predicted span transforms onto the warp field as the fitter's
+        initialization. Returns diagnostics."""
+        from dynamicfuion_python_tpu.models.gn_point_cloud_optimizer import (
+            GnConfig,
+        )
+        from dynamicfuion_python_tpu.models.tracking_prior import (
+            NeuralTrackingPrior,
+            rgbxyz_from_depth,
+        )
+
+        p = self.params
+        if self.prior is None:
+            deform_net = None
+            deform_params = None
+            if p.fusion.prior_checkpoint:
+                deform_net, deform_params = _load_prior_network(
+                    p.fusion.prior_checkpoint, self.warp_field.num_nodes
+                )
+            self.prior = NeuralTrackingPrior(
+                gn_config=GnConfig(),
+                deform_net=deform_net,
+                deform_net_params=deform_params,
+            )
+            # cluster weight threshold scales with image area; the default
+            # 2000 is calibrated for 448x640
+            h, w = depth_j.shape
+            scale = (h * w) / float(448 * 640)
+            self.prior.guards = self.prior.guards._replace(
+                min_num_correspondences_per_cluster=max(
+                    2000.0 * scale, 16.0
+                ),
+                depth_max=p.fusion.far_clip_distance,
+            )
+
+        source = self._prior_source_rgbxyz()
+        target = rgbxyz_from_depth(
+            np.asarray(depth_j),
+            color,
+            self.intrinsics,
+            p.fusion.depth_scale,
+            p.fusion.far_clip_distance,
+        )
+        anchors, weights = self._prior_pixel_anchors(
+            np.asarray(source[..., 3:])
+        )
+        nodes_kf = self.warp_field.node_positions + self.keyframe_translations
+
+        # span estimates: keyframe -> current increments of the cumulative
+        # transforms (identity right after a keyframe roll)
+        r_k = self.keyframe_rotations
+        t_k = self.keyframe_translations
+        r_cum = self.warp_field.node_rotations
+        t_cum = self.warp_field.node_translations
+        r_est = jnp.einsum("nab,ncb->nac", r_cum, r_k)  # R_cum @ R_k^T
+        t_est = t_cum - t_k
+
+        edges_flat = jnp.asarray(self._node_graph_edges())
+        edge_w = jnp.where(edges_flat >= 0, 1.0, 0.0)
+        clusters = jnp.zeros((self.warp_field.num_nodes,), jnp.int32)
+        result = self.prior.predict(
+            source,
+            target,
+            nodes_kf,
+            edges_flat,
+            edge_w,
+            clusters,
+            anchors,
+            weights,
+            self.intrinsics,
+            flow_override=prior_flow,
+            initial_rotations=r_est,
+            initial_translations=t_est,
+        )
+        if result.valid_solve:
+            # compose span prediction onto the keyframe snapshot:
+            # R_cum' = R_span @ R_k ; t_cum' = t_k + t_span
+            new_rot = jnp.einsum(
+                "nab,nbc->nac", result.rotations, r_k
+            )
+            new_trans = t_k + result.translations
+            self.warp_field = self.warp_field.replace(
+                node_rotations=new_rot, node_translations=new_trans
+            )
+        return {
+            "prior_valid": bool(result.valid_solve),
+            "prior_matches": int(jnp.sum(result.correspondence_mask)),
+        }
 
     # -- subsequent frames ---------------------------------------------------
 
-    def process_frame(self, depth: np.ndarray, color: np.ndarray | None) -> dict:
+    def process_frame(
+        self,
+        depth: np.ndarray,
+        color: np.ndarray | None,
+        prior_flow: np.ndarray | None = None,
+    ) -> dict:
         p = self.params
+        self.frames_processed += 1
         depth_j = jnp.asarray(depth)
 
         # RIGID stage: frame-to-frame point-to-plane ICP accumulates the
@@ -206,6 +538,21 @@ class FusionPipeline:
                 transform_points(points.reshape(-1, 3), inv).reshape(points.shape),
                 0.0,
             )
+
+        # NEURAL PRIOR stage (SURVEY §0: neural tracking bootstraps the
+        # fitter): predict keyframe->current node transforms from dense flow
+        # and initialize the warp field with them
+        prior_metrics = {}
+        if p.fusion.use_neural_prior or prior_flow is not None:
+            if self.keyframe_source is None:
+                # no tracking source yet (fresh resume): seed from this frame
+                # and let the fitter run alone once
+                self._reset_keyframe(depth, color)
+                prior_metrics = {"prior_valid": False, "prior_matches": 0}
+            else:
+                prior_metrics = self._apply_prior(
+                    depth_j, color, points, prior_flow
+                )
 
         self.warp_field, diagnostics = fit_to_image(
             self.warp_field,
@@ -260,18 +607,79 @@ class FusionPipeline:
             post_warp_extrinsics=ext,
         )
         self._refresh_canonical_mesh()
+        if self.keyframe_source is not None and self._keyframe_should_roll():
+            self._reset_keyframe(depth, color)
         return {
             "data_loss": [float(x) for x in diagnostics["data_loss"]],
             "arap_loss": [float(x) for x in diagnostics["arap_loss"]],
             "active_blocks": int(jnp.sum(intersecting)),
             "rigid_rmse": rigid_rmse,
+            **prior_metrics,
         }
 
     def warped_mesh_soup(self) -> np.ndarray:
-        """Forward-warp the canonical soup by the current field (telemetry,
+        """Forward-warp the canonical mesh by the current field (telemetry,
         reference ``extract_and_warp_canonical_mesh``)."""
-        warped = self.warp_field.warp_points(self.canonical_vertices)
-        return np.asarray(warped).reshape(-1, 3, 3)
+        warped = np.asarray(self.warp_field.warp_points(self.canonical_vertices))
+        faces = np.asarray(self.canonical_triangles)[
+            : self.canonical_triangle_count
+        ]
+        return warped[faces]
+
+
+def _load_prior_network(checkpoint_path: str, num_nodes: int):
+    """Build a DeformNet + converted reference torch checkpoint for the
+    prior's flow network (reference ``load_default_nnrt_network``,
+    ``alignment/default.py:11-42``)."""
+    import jax as _jax
+
+    from dynamicfuion_python_tpu.models.deform_net import DeformNet
+    from dynamicfuion_python_tpu.models.gn_point_cloud_optimizer import GnConfig
+    from dynamicfuion_python_tpu.models.torch_weight_conversion import (
+        convert_deform_net_checkpoint,
+    )
+
+    net = DeformNet(use_mask=True, num_nodes=num_nodes, gn_config=GnConfig())
+    if checkpoint_path.endswith((".pt", ".pth")):
+        import torch
+
+        ckpt = torch.load(checkpoint_path, map_location="cpu")
+        sample = jnp.zeros((1, 448, 640, 6), jnp.float32)
+        nodes = jnp.zeros((1, num_nodes, 3))
+        edges = jnp.full((1, num_nodes, 2), -1, jnp.int32)
+        template = net.init(
+            _jax.random.PRNGKey(0),
+            sample,
+            sample,
+            nodes,
+            edges,
+            jnp.zeros((1, num_nodes, 2)),
+            jnp.zeros((1, num_nodes), jnp.int32),
+            jnp.zeros((1, 448, 640, 4), jnp.int32),
+            jnp.zeros((1, 448, 640, 4)),
+            jnp.eye(3),
+        )
+        params = convert_deform_net_checkpoint(
+            ckpt, params_template=template["params"]
+        )
+        return net, {"params": params}
+    import flax.serialization
+
+    from pathlib import Path
+
+    sample = jnp.zeros((1, 448, 640, 6), jnp.float32)
+    template = None  # msgpack restores by structure
+    return net, flax.serialization.msgpack_restore(
+        Path(checkpoint_path).read_bytes()
+    )
+
+
+def _capacity_bucket(n: int, minimum: int = 1024) -> int:
+    """Smallest power of two >= max(n, minimum)."""
+    cap = minimum
+    while cap < n:
+        cap *= 2
+    return cap
 
 
 def _max_feasible_layers(node_count: int) -> int:
@@ -311,7 +719,16 @@ def run_fusion(
             continue
         if first:
             first = False
-            pipeline.initialize(frame.depth, frame.color)
+            from dynamicfuion_python_tpu.settings import GraphGenerationMode
+
+            frame_graph = None
+            if (
+                params.fusion.graph_generation_mode
+                == GraphGenerationMode.FIRST_FRAME_LOADED_GRAPH
+                and hasattr(sequence, "get_frame_graph")
+            ):
+                frame_graph = sequence.get_frame_graph(frame.index)
+            pipeline.initialize(frame.depth, frame.color, frame_graph=frame_graph)
             telemetry.record_frame(frame.index, nodes=pipeline.warp_field.num_nodes)
         else:
             metrics = pipeline.process_frame(frame.depth, frame.color)

@@ -1,11 +1,15 @@
 """DeformNet training (4-stage curriculum).
 
 Capability parity with the reference ``apps/train.py:25-476`` +
-``run_train.sh`` recipe (README.md:203-211): Adam/SGD over DeformLoss with
-the staged curriculum — ``0_flow`` (flow loss only, solver skipped) ->
-``1_solver`` (+graph/warp losses) -> ``2_mask`` (+MaskNet & BCE) ->
-``3_refine`` (everything) — periodic evaluation (EPE metrics), and
-time-throttled checkpointing (``SnapshotManager`` -> orbax).
+``run_train.sh`` recipe (README.md:203-211): SGD+StepLR (or Adam) over
+DeformLoss with the staged curriculum — ``0_flow`` (flow loss only, solver
+skipped) -> ``1_solver`` (+graph/warp losses, mask net frozen) -> ``2_mask``
+(+MaskNet & weighted BCE against ``compute_baseline_mask_gt`` oracle masks,
+flow net frozen) -> ``3_refine`` (everything trains) — periodic in-training
+evaluation (losses + EPE-2D / Graph Error 3D / EPE-3D / valid-solve ratio,
+reference ``apps/train.py:224-317``), too-large-translation invalidation
+(``:369-384``), and time-throttled checkpointing (``SnapshotManager`` ->
+orbax).
 
 TPU-native: one jitted train step (model forward incl. the differentiable GN
 solve + loss + optax update); data loading stays host-side numpy.
@@ -30,26 +34,64 @@ import optax
 from dynamicfuion_python_tpu.data.deform_dataset import DeformDataset
 from dynamicfuion_python_tpu.models.deform_net import DeformNet
 from dynamicfuion_python_tpu.models.gn_point_cloud_optimizer import GnConfig
-from dynamicfuion_python_tpu.models.losses import LossWeights, total_loss
+from dynamicfuion_python_tpu.models.losses import (
+    LossWeights,
+    compute_baseline_mask_gt,
+    epe_2d,
+    epe_3d,
+    total_loss,
+    valid_ratio,
+)
+from dynamicfuion_python_tpu.models.pwcnet import upsample_flow_to_full
+
+
+class StageConfig:
+    """One curriculum stage: which losses fire, which nets freeze, whether
+    the GN solver runs (reference flags freeze_optical_flow_net /
+    freeze_mask_net / skip_solver, settings/deform_net.py:102-106)."""
+
+    def __init__(self, weights, freeze_flow=False, freeze_mask=False,
+                 skip_solver=False, use_mask_net=True):
+        self.weights = weights
+        self.freeze_flow = freeze_flow
+        self.freeze_mask = freeze_mask
+        self.skip_solver = skip_solver
+        self.use_mask_net = use_mask_net
+
 
 STAGES = {
-    "0_flow": LossWeights(
-        use_flow_loss=True, use_graph_loss=False, use_warp_loss=False,
-        use_mask_loss=False,
+    "0_flow": StageConfig(
+        LossWeights(
+            use_flow_loss=True, use_graph_loss=False, use_warp_loss=False,
+            use_mask_loss=False,
+        ),
+        skip_solver=True,
+        use_mask_net=False,
     ),
-    "1_solver": LossWeights(
-        use_flow_loss=True, use_graph_loss=True, use_warp_loss=True,
-        use_mask_loss=False,
+    "1_solver": StageConfig(
+        LossWeights(
+            use_flow_loss=True, use_graph_loss=True, use_warp_loss=True,
+            use_mask_loss=False,
+        ),
+        use_mask_net=False,
     ),
-    "2_mask": LossWeights(
-        use_flow_loss=True, use_graph_loss=True, use_warp_loss=True,
-        use_mask_loss=True,
+    "2_mask": StageConfig(
+        LossWeights(
+            use_flow_loss=True, use_graph_loss=True, use_warp_loss=True,
+            use_mask_loss=True,
+        ),
+        freeze_flow=True,
     ),
-    "3_refine": LossWeights(
-        use_flow_loss=True, use_graph_loss=True, use_warp_loss=True,
-        use_mask_loss=True,
+    "3_refine": StageConfig(
+        LossWeights(
+            use_flow_loss=True, use_graph_loss=True, use_warp_loss=True,
+            use_mask_loss=True,
+        ),
     ),
 }
+
+# reference settings/training.py:140-145
+GN_MAX_MEAN_TRANSLATION_ERROR = 0.5
 
 
 def node_translations_gt_from_scene_flow(batch) -> tuple[np.ndarray, np.ndarray]:
@@ -76,39 +118,83 @@ def node_translations_gt_from_scene_flow(batch) -> tuple[np.ndarray, np.ndarray]
     return gt, valid
 
 
-def make_train_step(model: DeformNet, optimizer, weights: LossWeights):
+def _forward_and_loss(model, params, batch, stage: StageConfig):
+    """Model forward + all gt preparation + total loss (shared by the train
+    and eval steps)."""
+    weights = stage.weights
+    out = model.apply(
+        params,
+        batch["source"],
+        batch["target"],
+        batch["graph_nodes"],
+        batch["graph_edges"],
+        batch["graph_edges_weights"],
+        batch["graph_clusters"],
+        batch["pixel_anchors"],
+        batch["pixel_weights"],
+        batch["intrinsics"],
+    )
+
+    # too-large-translation invalidation (reference apps/train.py:369-384):
+    # solves whose mean node-translation error exceeds the threshold produce
+    # noisy gradients — drop them from the solver-dependent loss terms
+    validity = out.deformations_validity
+    err = jnp.linalg.norm(
+        out.node_translations - batch["node_translations_gt"], axis=-1
+    )
+    denom = jnp.maximum(jnp.sum(validity, axis=1), 1.0)
+    mean_err = jnp.sum(err * validity, axis=1) / denom
+    keep = (mean_err <= GN_MAX_MEAN_TRANSLATION_ERROR).astype(jnp.float32)
+    out = out._replace(
+        deformations_validity=validity * keep[:, None],
+        valid_solve=(out.valid_solve.astype(jnp.float32) * keep).astype(
+            jnp.uint8
+        ),
+    )
+
+    deformed_gt = (
+        batch["source"][..., 3:].reshape(out.deformed_points.shape)
+        + batch["scene_flow_gt"].reshape(out.deformed_points.shape)
+    )
+    deformed_mask = (
+        batch["scene_flow_mask"].reshape(out.deformed_points.shape[:2])
+        * keep[:, None]
+    )
+
+    mask_gt = None
+    mask_valid = None
+    if weights.use_mask_loss:
+        h, w = batch["source"].shape[1:3]
+        flow_full = jax.lax.stop_gradient(
+            upsample_flow_to_full(out.flows[0], (h, w))
+        )
+        mask_gt, mask_valid = compute_baseline_mask_gt(
+            flow_full,
+            batch["source"][..., 3:],
+            batch["target"][..., 3:],
+            batch["scene_flow_gt"],
+            batch["scene_flow_mask"].astype(bool),
+            batch["target_boundary_mask"].astype(bool),
+        )
+    loss, parts = total_loss(
+        out,
+        batch["flow_gt"],
+        batch["flow_mask"],
+        batch["node_translations_gt"],
+        deformed_gt,
+        deformed_mask,
+        mask_gt=mask_gt,
+        mask_valid=mask_valid,
+        weights=weights,
+    )
+    return loss, (parts, out)
+
+
+def make_train_step(model: DeformNet, optimizer, stage: StageConfig):
     @jax.jit
     def train_step(params, opt_state, batch):
         def loss_fn(p):
-            out = model.apply(
-                p,
-                batch["source"],
-                batch["target"],
-                batch["graph_nodes"],
-                batch["graph_edges"],
-                batch["graph_edges_weights"],
-                batch["graph_clusters"],
-                batch["pixel_anchors"],
-                batch["pixel_weights"],
-                batch["intrinsics"],
-            )
-            deformed_gt = (
-                batch["source"][..., 3:].reshape(out.deformed_points.shape)
-                + batch["scene_flow_gt"].reshape(out.deformed_points.shape)
-            )
-            deformed_mask = batch["scene_flow_mask"].reshape(
-                out.deformed_points.shape[:2]
-            )
-            loss, parts = total_loss(
-                out,
-                batch["flow_gt"],
-                batch["flow_mask"],
-                batch["node_translations_gt"],
-                deformed_gt,
-                deformed_mask,
-                mask_gt=batch.get("mask_gt"),
-                weights=weights,
-            )
+            loss, (parts, _) = _forward_and_loss(model, p, batch, stage)
             return loss, parts
 
         (loss, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
@@ -117,6 +203,79 @@ def make_train_step(model: DeformNet, optimizer, weights: LossWeights):
         return params, opt_state, loss, parts
 
     return train_step
+
+
+def make_eval_step(model: DeformNet, stage: StageConfig):
+    """In-training evaluation (reference apps/train.py:224-317): losses +
+    the paper metrics over a validation batch."""
+
+    @jax.jit
+    def eval_step(params, batch):
+        loss, (parts, out) = _forward_and_loss(model, params, batch, stage)
+        h, w = batch["source"].shape[1:3]
+        flow_full = upsample_flow_to_full(out.flows[0], (h, w))
+        metrics = dict(parts)
+        metrics["epe_2d"] = epe_2d(
+            flow_full, batch["flow_gt"], batch["flow_mask"].astype(bool)
+        )
+        metrics["graph_error_3d"] = epe_3d(
+            out.node_translations,
+            batch["node_translations_gt"],
+            out.deformations_validity > 0,
+        )
+        deformed_gt = (
+            batch["source"][..., 3:].reshape(out.deformed_points.shape)
+            + batch["scene_flow_gt"].reshape(out.deformed_points.shape)
+        )
+        metrics["epe_3d"] = epe_3d(
+            out.deformed_points,
+            deformed_gt,
+            batch["scene_flow_mask"].reshape(out.deformed_points.shape[:2])
+            > 0,
+        )
+        metrics["valid_ratio"] = valid_ratio(out.valid_solve)
+        return metrics
+
+    return eval_step
+
+
+def _stage_optimizer(stage: StageConfig, params, learning_rate, use_adam,
+                     momentum=0.9, use_lr_scheduler=True, step_lr=1000):
+    """SGD+StepLR by default (the published recipe,
+    settings/training.py:28-45); Adam optional. Frozen subtrees (per stage)
+    get zero updates via optax.multi_transform."""
+    if use_lr_scheduler and not use_adam:
+        schedule = optax.exponential_decay(
+            learning_rate, transition_steps=step_lr, decay_rate=0.1,
+            staircase=True,
+        )
+    else:
+        schedule = learning_rate
+    base = (
+        optax.adam(schedule)
+        if use_adam
+        else optax.sgd(schedule, momentum=momentum)
+    )
+
+    def label_fn(tree):
+        def label_path(path):
+            top = path[0] if path else ""
+            if stage.freeze_flow and top == "flow_net":
+                return "frozen"
+            if stage.freeze_mask and top == "mask_net":
+                return "frozen"
+            return "train"
+
+        import flax
+
+        flat = flax.traverse_util.flatten_dict(tree)
+        return flax.traverse_util.unflatten_dict(
+            {k: label_path(k[1:]) for k in flat}
+        )
+
+    return optax.multi_transform(
+        {"train": base, "frozen": optax.set_to_zero()}, label_fn
+    )
 
 
 def train(
@@ -131,6 +290,10 @@ def train(
     seed: int = 0,
     image_size=None,
     node_coverage: float = 0.05,
+    use_adam: bool = False,
+    momentum: float = 0.9,
+    use_lr_scheduler: bool = True,
+    step_lr: int = 1000,
 ):
     dataset = DeformDataset(
         Path(data_root) / "train", max_nodes=max_nodes, image_size=image_size,
@@ -138,13 +301,25 @@ def train(
     )
     if len(dataset) == 0:
         raise ValueError(f"no labeled pairs under {data_root}/train")
-    weights = STAGES[stage]
+    try:
+        val_dataset = DeformDataset(
+            Path(data_root) / "val", max_nodes=max_nodes,
+            image_size=image_size, node_coverage=node_coverage,
+        )
+        if len(val_dataset) == 0:
+            val_dataset = dataset
+    except (FileNotFoundError, ValueError):
+        val_dataset = dataset
+    stage_cfg = STAGES[stage]
+    weights = stage_cfg.weights
 
     sample = dataset.batch([0])
     model = DeformNet(
-        use_mask=weights.use_mask_loss,
+        use_mask=stage_cfg.use_mask_net,
         num_nodes=max_nodes,
-        gn_config=GnConfig(num_iterations=3, lm_factor=0.1),
+        gn_config=GnConfig(
+            num_iterations=0 if stage_cfg.skip_solver else 3, lm_factor=0.1
+        ),
     )
     rng = jax.random.PRNGKey(seed)
     params = model.init(
@@ -159,21 +334,42 @@ def train(
         jnp.asarray(sample["pixel_weights"]),
         jnp.asarray(sample["intrinsics"]),
     )
-    optimizer = optax.adam(learning_rate)
+    optimizer = _stage_optimizer(
+        stage_cfg, params, learning_rate, use_adam=use_adam,
+        momentum=momentum, use_lr_scheduler=use_lr_scheduler, step_lr=step_lr,
+    )
     opt_state = optimizer.init(params)
-    train_step = make_train_step(model, optimizer, weights)
+    train_step = make_train_step(model, optimizer, stage_cfg)
+    eval_step = make_eval_step(model, stage_cfg)
 
     ckpt_dir = Path(checkpoint_dir)
     ckpt_dir.mkdir(parents=True, exist_ok=True)
     np_rng = np.random.default_rng(seed)
     history = []
+    eval_history = []
     last_save = time.time()
-    for it in range(iterations):
-        idx = np_rng.choice(len(dataset), size=min(batch_size, len(dataset)), replace=len(dataset) < batch_size)
-        batch = dataset.batch(idx)
+
+    def prepare(batch):
         gt_t, gt_valid = node_translations_gt_from_scene_flow(batch)
         batch["node_translations_gt"] = gt_t
-        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        # boundary mask of the TARGET frame (depth discontinuities), needed
+        # by the mask-GT oracle (reference target_boundary_mask)
+        from dynamicfuion_python_tpu.ops.image_proc_extras import (
+            compute_boundary_mask,
+        )
+
+        target_z = batch["target"][..., 5]
+        batch["target_boundary_mask"] = np.stack(
+            [
+                np.asarray(compute_boundary_mask(jnp.asarray(z), 0.1))
+                for z in target_z
+            ]
+        )
+        return {k: jnp.asarray(v) for k, v in batch.items()}
+
+    for it in range(iterations):
+        idx = np_rng.choice(len(dataset), size=min(batch_size, len(dataset)), replace=len(dataset) < batch_size)
+        batch = prepare(dataset.batch(idx))
         params, opt_state, loss, parts = train_step(params, opt_state, batch)
         history.append(float(loss))
         if it % 10 == 0:
@@ -182,10 +378,29 @@ def train(
                 + " ".join(f"{k}={float(v):.4f}" for k, v in parts.items()),
                 flush=True,
             )
+        # periodic in-training evaluation (reference apps/train.py:224-317)
+        if eval_every > 0 and (it + 1) % eval_every == 0:
+            vidx = np_rng.choice(
+                len(val_dataset), size=min(batch_size, len(val_dataset)),
+                replace=len(val_dataset) < batch_size,
+            )
+            metrics = eval_step(params, prepare(val_dataset.batch(vidx)))
+            metrics = {k: float(v) for k, v in metrics.items()}
+            metrics["iteration"] = it
+            eval_history.append(metrics)
+            print(
+                f"eval @{it}: "
+                + " ".join(f"{k}={v:.4f}" for k, v in metrics.items()),
+                flush=True,
+            )
         # time-throttled snapshot (reference SnapshotManager: 5 min default)
         if time.time() - last_save > 300 or it == iterations - 1:
             save_checkpoint(ckpt_dir, params, opt_state, it)
             last_save = time.time()
+    if eval_history:
+        (ckpt_dir / "eval_history.json").write_text(
+            json.dumps(eval_history, indent=1)
+        )
     return params, history
 
 

@@ -68,6 +68,26 @@ class FrameSequenceDataset:
         for i in self.frame_range:
             yield self.load_frame(i)
 
+    def get_frame_graph(self, index: int) -> dict | None:
+        """Load precomputed deformation-graph blobs for a frame if present
+        (the reference's ``get_current_frame_graph_warp_field`` path,
+        ``data/frame_sequence.py:145-169``: scans ``graph_nodes/`` for a file
+        whose start-frame component matches). Returns the dict from
+        ``apps.create_graph_data.load_graph_data`` or None."""
+        from dynamicfuion_python_tpu.apps.create_graph_data import (
+            load_graph_data,
+        )
+
+        graph_dir = self.directory / "graph_nodes"
+        if not graph_dir.is_dir():
+            return None
+        for path in sorted(graph_dir.glob("*_geodesic_*.bin")):
+            pair, _, coverage = path.stem.rpartition("_geodesic_")
+            numeric = [int(p) for p in pair.split("_") if p.isdigit()]
+            if numeric and numeric[0] == index:
+                return load_graph_data(self.directory, pair, float(coverage))
+        return None
+
     def load_frame(self, index: int) -> Frame:
         from PIL import Image
 

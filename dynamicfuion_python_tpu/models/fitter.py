@@ -89,6 +89,10 @@ class FitterConfig:
     use_regularization: bool = flax.struct.field(pytree_node=False, default=True)
     max_faces_per_bin: int = flax.struct.field(pytree_node=False, default=256)
     tile_size: int = flax.struct.field(pytree_node=False, default=16)
+    # False selects the vmapped-jacrev data term (the oracle the layout-
+    # optimized analytic path is pinned against); True is ~20x faster on TPU
+    # ([P, c]-shaped intermediates instead of [P, 12, 3, 3] tiles).
+    use_fast_data_term: bool = flax.struct.field(pytree_node=False, default=True)
     # Row-sum "lumping" of the data-term Hessian diagonal blocks. The
     # reference keeps only the block-diagonal of J^T J
     # (``ComputeDepthHessianApproximationBlocks_UnorderedNodePixels``), which
@@ -233,109 +237,94 @@ _residual_and_grad = jax.vmap(
 )
 
 
-def fit_to_image(
-    field: HierarchicalGraphWarpField,
-    canonical_vertices: jnp.ndarray,
-    canonical_triangles: jnp.ndarray,
-    reference_points: jnp.ndarray,  # f32[H, W, 3] observed point image
-    reference_mask: jnp.ndarray,  # bool[H, W]
-    intrinsics: jnp.ndarray,
-    config: FitterConfig = FitterConfig(),
-) -> tuple[HierarchicalGraphWarpField, dict]:
-    """Run the GN/LM loop; returns the updated field + diagnostics.
+# ---------------------------------------------------------------------------
+# TPU-layout-optimized data term.
+#
+# The straightforward vmapped-jacrev above produces intermediates shaped
+# [P, 12, 3, 3] etc. whose tiny trailing dims each occupy a full (8, 128)
+# TPU tile — measured ~100x below the VPU roofline (3 us/pixel). The
+# production path below restructures the same math so every array is [P] or
+# [P, c]-shaped (pixel dim on sublanes, small dim on lanes):
+#   stage 1: AD of the SCALARIZED pixel function (projection, barycentrics,
+#            point-to-plane) wrt the 18 warped vertex/normal scalars -> the
+#            reference's RasterizedSurfaceJacobians role;
+#   stage 2: analytic warp jacobians per (pixel, vertex, anchor) pair:
+#            d(warped)/d(rot delta) = -w skew(R(x-g)), d/d(trans) = w I ->
+#            the reference's WarpedSurfaceJacobians role;
+#   stage 3: chain-rule composition via cross products, accumulated into the
+#            12 per-face node slots with one-hot masks -> the reference's
+#            PixelVertexAnchorJacobians role.
+# A parity test (tests/test_fitter.py) pins this against the vmapped-jacrev
+# oracle.
+# ---------------------------------------------------------------------------
 
-    Mirrors ``DeformableMeshToImageFitter::FitToImage``
-    (``DeformableMeshToImageFitter.cpp:85-276``).
-    """
-    h, w = reference_mask.shape
-    pre = precompute_face_associations(field, canonical_vertices, canonical_triangles)
-    canonical_normals = mesh_vertex_normals(canonical_vertices, canonical_triangles)
 
-    n = field.num_nodes
-    n0 = field.arrow_base
-    nc = n - n0
-    max_deg = max(
-        1,
-        min(
-            4,
-            field.layer_node_counts[1] if len(field.layer_node_counts) > 1 else 1,
-        ),
+def _pixel_stage1(warped: jnp.ndarray, px, py, ref_point, intrinsics):
+    """Scalarized residual given the 18 warped quantities
+    [w0.xyz, w1.xyz, w2.xyz, m0.xyz, m1.xyz, m2.xyz]. Matches
+    ``_pixel_residual``'s pixel math exactly (same guard constants)."""
+    fx, fy = intrinsics[0, 0], intrinsics[1, 1]
+    cxi, cyi = intrinsics[0, 2], intrinsics[1, 2]
+    wx = warped[0:9:3]
+    wy = warped[1:9:3]
+    wz = warped[2:9:3]
+    z = jnp.maximum(wz, 1e-6)
+    u = wx / z * fx + cxi
+    v = wy / z * fy + cyi
+    ax, ay = u[0], v[0]
+    bx, by = u[1], v[1]
+    cx2, cy2 = u[2], v[2]
+    area = (cx2 - ax) * (by - ay) - (cy2 - ay) * (bx - ax)
+    e0 = (px - bx) * (cy2 - by) - (py - by) * (cx2 - bx)
+    e1 = (px - cx2) * (ay - cy2) - (py - cy2) * (ax - cx2)
+    e2 = (px - ax) * (by - ay) - (py - ay) * (bx - ax)
+    safe_area = jnp.where(jnp.abs(area) > 1e-12, area, 1e-12)
+    bary2d = jnp.stack([e0, e1, e2]) / safe_area
+    pw = bary2d / z
+    bary = pw / jnp.maximum(jnp.sum(pw), 1e-12)
+    depth = jnp.sum(bary * wz)
+    prx = (px - cxi) / fx * depth
+    pry = (py - cyi) / fy * depth
+    mx = warped[9:18:3]
+    my = warped[10:18:3]
+    mz = warped[11:18:3]
+    nx = jnp.sum(bary * mx)
+    ny = jnp.sum(bary * my)
+    nz = jnp.sum(bary * mz)
+    inv_norm = 1.0 / jnp.maximum(jnp.sqrt(nx * nx + ny * ny + nz * nz), 1e-9)
+    return inv_norm * (
+        nx * (prx - ref_point[0])
+        + ny * (pry - ref_point[1])
+        + nz * (depth - ref_point[2])
     )
 
-    diagnostics = {"data_loss": [], "arap_loss": []}
 
-    for iteration in range(config.max_iterations):
-        mode = config.mode_for_iteration(iteration)
-        field, data_loss, arap_loss = _gauss_newton_step(
-            field,
-            canonical_vertices,
-            canonical_triangles,
-            canonical_normals,
-            pre,
-            reference_points,
-            reference_mask,
-            intrinsics,
-            config,
-            mode,
-            max_deg,
-        )
-        diagnostics["data_loss"].append(data_loss)
-        diagnostics["arap_loss"].append(arap_loss)
-
-    return field, diagnostics
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("config", "mode", "max_deg"),
+_stage1_value_and_grad = jax.vmap(
+    jax.value_and_grad(_pixel_stage1, argnums=0),
+    in_axes=(0, 0, 0, 0, None),
 )
-def _gauss_newton_step(
-    field: HierarchicalGraphWarpField,
+
+
+def _data_term_autodiff(
+    pos_v,
+    rot_v,
+    trans_v,
     canonical_vertices,
-    canonical_triangles,
     canonical_normals,
+    canonical_triangles,
     pre: FacePrecompute,
+    frag_faces,
     reference_points,
     reference_mask,
     intrinsics,
     config: FitterConfig,
-    mode: IterationMode,
-    max_deg: int,
+    num_nodes: int,
 ):
+    """Straightforward vmapped-jacrev data term — the oracle for
+    ``_data_term_fast`` (same math, [P, 12, 3, 3]-shaped intermediates that
+    waste TPU tiles; keep for parity testing and CPU use)."""
     h, w = reference_mask.shape
-    n = field.num_nodes
-    n0 = field.arrow_base
-    nc = n - n0
-
-    pos_v = field.virtual_positions()
-    rot_v = field.virtual_rotations()
-    trans_v = field.virtual_translations()
-
-    # ---- rasterize current warped mesh (association pass; non-diff) -------
-    warped_vertices = _warp_vertices(
-        canonical_vertices, pos_v, rot_v, trans_v, pre.anchors, pre.weights
-    )
-    face_verts_pix, valid_faces = extract_face_vertices(
-        jax.lax.stop_gradient(warped_vertices),
-        canonical_triangles,
-        intrinsics,
-        (h, w),
-        near=1e-3,
-        far=config.max_depth,
-    )
-    frag = rasterize_binned(
-        face_verts_pix,
-        valid_faces,
-        (h, w),
-        faces_per_pixel=1,
-        perspective_correct=True,
-        cull_back_faces=False,
-        tile_size=config.tile_size,
-        max_faces_per_bin=config.max_faces_per_bin,
-    )
-    frag_faces = jax.lax.stop_gradient(frag.face_indices[..., 0])  # [H, W]
-
-    # ---- per-pixel residuals + jacobians via AD ---------------------------
+    n = num_nodes
     pix_face = frag_faces.reshape(-1)
     pix_ok = (pix_face >= 0) & reference_mask.reshape(-1)
     safe_face = jnp.maximum(pix_face, 0)
@@ -381,7 +370,6 @@ def _gauss_newton_step(
         tw = jnp.ones_like(residuals)
     weight = jnp.where(pix_ok, tw, 0.0)
 
-    # ---- assemble data-term normal equations (block-diagonal) -------------
     flat_nodes = face_nodes.reshape(-1)  # [P*12]
     flat_jac = jac.reshape(-1, 6)
     flat_w = jnp.repeat(weight, MAX_FACE_NODES)
@@ -403,6 +391,314 @@ def _gauss_newton_step(
         -flat_jac * (flat_w * flat_r)[:, None], seg, num_segments=n + 1
     )[:n]
     data_loss = 0.5 * jnp.sum(weight * residuals**2)
+    return h_data, g_data, data_loss
+
+
+def _data_term_fast(
+    pos_v,  # f32[N, 3] virtual node positions
+    rot_v,  # f32[N, 3, 3]
+    trans_v,  # f32[N, 3]
+    canonical_vertices,  # f32[V, 3]
+    canonical_normals,  # f32[V, 3]
+    canonical_triangles,  # int32[F, 3]
+    pre: FacePrecompute,
+    frag_faces,  # int32[H, W] fragment face indices (-1 = miss)
+    reference_points,  # f32[H, W, 3]
+    reference_mask,  # bool[H, W]
+    intrinsics,
+    config: FitterConfig,
+    num_nodes: int,
+):
+    """Residuals + per-(pixel, slot) 6-dof jacobians + assembled normal
+    equations, with TPU-friendly [P, c] layouts throughout. Returns
+    (h_data f32[N, 6, 6], g_data f32[N, 6], data_loss)."""
+    h, w = reference_mask.shape
+    n = num_nodes
+    pix_face = frag_faces.reshape(-1)
+    pix_ok = (pix_face >= 0) & reference_mask.reshape(-1)
+    safe_face = jnp.maximum(pix_face, 0)
+    p_count = pix_face.shape[0]
+
+    tri = canonical_triangles[safe_face]  # [P, 3]
+    slot_map = pre.slot_of_vertex_anchor[safe_face].reshape(p_count, 12)
+    va_w = pre.weights[tri].reshape(p_count, 12)  # [P, 12] anchor weights
+    va_w = jnp.where(slot_map >= 0, va_w, 0.0)
+    sid = jnp.maximum(slot_map, 0)  # [P, 12]
+    face_nodes = pre.face_nodes[safe_face]  # [P, 12]
+    nid = jnp.take_along_axis(face_nodes, sid, axis=1)  # [P, 12] node ids
+    nid = jnp.maximum(nid, 0)
+
+    rot_flat = rot_v.reshape(-1, 9)  # row-major [N, 9]
+    px = jnp.tile(jnp.arange(w, dtype=jnp.float32), h)
+    py = jnp.repeat(jnp.arange(h, dtype=jnp.float32), w)
+
+    # stage 2 forward + jacobian ingredients, per (vertex i, anchor k) pair
+    warped = [jnp.zeros((p_count,), jnp.float32) for _ in range(18)]
+    rot_off = []  # 12 pairs x 3 comps [P]
+    rot_nrm = []
+    for i in range(3):
+        vx = canonical_vertices[tri[:, i]]  # [P, 3]
+        nx_ = canonical_normals[tri[:, i]]  # [P, 3]
+        for k in range(4):
+            pair = i * 4 + k
+            node = nid[:, pair]
+            wgt = va_w[:, pair]
+            r9 = rot_flat[node]  # [P, 9]
+            g = pos_v[node]  # [P, 3]
+            t = trans_v[node]  # [P, 3]
+            ox = vx[:, 0] - g[:, 0]
+            oy = vx[:, 1] - g[:, 1]
+            oz = vx[:, 2] - g[:, 2]
+            rx = r9[:, 0] * ox + r9[:, 1] * oy + r9[:, 2] * oz
+            ry = r9[:, 3] * ox + r9[:, 4] * oy + r9[:, 5] * oz
+            rz = r9[:, 6] * ox + r9[:, 7] * oy + r9[:, 8] * oz
+            sx = r9[:, 0] * nx_[:, 0] + r9[:, 1] * nx_[:, 1] + r9[:, 2] * nx_[:, 2]
+            sy = r9[:, 3] * nx_[:, 0] + r9[:, 4] * nx_[:, 1] + r9[:, 5] * nx_[:, 2]
+            sz = r9[:, 6] * nx_[:, 0] + r9[:, 7] * nx_[:, 1] + r9[:, 8] * nx_[:, 2]
+            rot_off.append((rx, ry, rz))
+            rot_nrm.append((sx, sy, sz))
+            warped[3 * i + 0] += wgt * (g[:, 0] + rx + t[:, 0])
+            warped[3 * i + 1] += wgt * (g[:, 1] + ry + t[:, 1])
+            warped[3 * i + 2] += wgt * (g[:, 2] + rz + t[:, 2])
+            warped[9 + 3 * i + 0] += wgt * sx
+            warped[9 + 3 * i + 1] += wgt * sy
+            warped[9 + 3 * i + 2] += wgt * sz
+
+    warped18 = jnp.stack(warped, axis=-1)  # [P, 18]
+    residuals, grad18 = _stage1_value_and_grad(
+        warped18, px, py, reference_points.reshape(-1, 3), intrinsics
+    )
+
+    # stage 3: chain rule into per-slot 6-dof rows, [P, 12] per component
+    eye12 = jnp.eye(12, dtype=jnp.float32)
+    jac = [jnp.zeros((p_count, 12), jnp.float32) for _ in range(6)]
+    for i in range(3):
+        gwx = grad18[:, 3 * i + 0]
+        gwy = grad18[:, 3 * i + 1]
+        gwz = grad18[:, 3 * i + 2]
+        gmx = grad18[:, 9 + 3 * i + 0]
+        gmy = grad18[:, 9 + 3 * i + 1]
+        gmz = grad18[:, 9 + 3 * i + 2]
+        for k in range(4):
+            pair = i * 4 + k
+            wgt = va_w[:, pair]
+            rx, ry, rz = rot_off[pair]
+            sx, sy, sz = rot_nrm[pair]
+            # -w * (gw x rot_off + gm x rot_nrm)
+            jr0 = -wgt * ((gwy * rz - gwz * ry) + (gmy * sz - gmz * sy))
+            jr1 = -wgt * ((gwz * rx - gwx * rz) + (gmz * sx - gmx * sz))
+            jr2 = -wgt * ((gwx * ry - gwy * rx) + (gmx * sy - gmy * sx))
+            jt0 = wgt * gwx
+            jt1 = wgt * gwy
+            jt2 = wgt * gwz
+            onehot = eye12[sid[:, pair]]  # [P, 12]
+            for c, val in enumerate((jr0, jr1, jr2, jt0, jt1, jt2)):
+                jac[c] = jac[c] + onehot * val[:, None]
+
+    # robust weights (Tukey IRLS) + validity
+    residuals = jnp.where(pix_ok, residuals, 0.0)
+    if config.use_tukey_penalty:
+        c_t = config.tukey_cutoff
+        tw = jnp.where(
+            jnp.abs(residuals) < c_t, (1.0 - (residuals / c_t) ** 2) ** 2, 0.0
+        )
+    else:
+        tw = jnp.ones_like(residuals)
+    weight = jnp.where(pix_ok, tw, 0.0)
+
+    # assembly: outer products per slot, segment-summed over node ids
+    flat_nodes = face_nodes.reshape(-1)
+    flat_w = jnp.repeat(weight, 12)
+    flat_r = jnp.repeat(residuals, 12)
+    slot_ok = (flat_nodes >= 0) & (flat_w > 0)
+    seg = jnp.where(slot_ok, flat_nodes, n)
+    jflat = [jc.reshape(-1) for jc in jac]  # 6 x [P*12]
+    if config.lump_data_hessian:
+        w_eff = jnp.sqrt(
+            jflat[3] ** 2 + jflat[4] ** 2 + jflat[5] ** 2
+        )
+        lump = 1.0 / jnp.maximum(w_eff, 1e-3)
+    else:
+        lump = jnp.ones_like(jflat[0])
+    scale = lump * flat_w
+    outer36 = jnp.stack(
+        [jflat[a] * jflat[b] * scale for a in range(6) for b in range(6)],
+        axis=-1,
+    )  # [P*12, 36]
+    h_data = jax.ops.segment_sum(outer36, seg, num_segments=n + 1)[:n].reshape(
+        n, 6, 6
+    )
+    g_rows = jnp.stack(
+        [-jc * (flat_w * flat_r) for jc in jflat], axis=-1
+    )  # [P*12, 6]
+    g_data = jax.ops.segment_sum(g_rows, seg, num_segments=n + 1)[:n]
+    data_loss = 0.5 * jnp.sum(weight * residuals**2)
+    return h_data, g_data, data_loss
+
+
+def _max_wing_degree(field: HierarchicalGraphWarpField) -> int:
+    return max(
+        1,
+        min(
+            4,
+            field.layer_node_counts[1] if len(field.layer_node_counts) > 1 else 1,
+        ),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("config", "max_deg"))
+def _fit_program(
+    field: HierarchicalGraphWarpField,
+    canonical_vertices,
+    canonical_triangles,
+    reference_points,
+    reference_mask,
+    intrinsics,
+    config: FitterConfig,
+    max_deg: int,
+):
+    """The ENTIRE fit — anchor precompute, normals, and all GN iterations —
+    as one XLA program. One dispatch per fit instead of one per iteration:
+    critical when the device sits behind a network tunnel, and lets XLA
+    overlap/fuse across iterations."""
+    pre = precompute_face_associations(
+        field, canonical_vertices, canonical_triangles
+    )
+    canonical_normals = mesh_vertex_normals(
+        canonical_vertices, canonical_triangles
+    )
+    data_losses = []
+    arap_losses = []
+    # iteration modes are static per iteration -> unrolled Python loop
+    for iteration in range(config.max_iterations):
+        mode = config.mode_for_iteration(iteration)
+        field, data_loss, arap_loss = _gauss_newton_step_impl(
+            field,
+            canonical_vertices,
+            canonical_triangles,
+            canonical_normals,
+            pre,
+            reference_points,
+            reference_mask,
+            intrinsics,
+            config,
+            mode,
+            max_deg,
+        )
+        data_losses.append(data_loss)
+        arap_losses.append(arap_loss)
+    return field, jnp.stack(data_losses), jnp.stack(arap_losses)
+
+
+def fit_to_image(
+    field: HierarchicalGraphWarpField,
+    canonical_vertices: jnp.ndarray,
+    canonical_triangles: jnp.ndarray,
+    reference_points: jnp.ndarray,  # f32[H, W, 3] observed point image
+    reference_mask: jnp.ndarray,  # bool[H, W]
+    intrinsics: jnp.ndarray,
+    config: FitterConfig = FitterConfig(),
+) -> tuple[HierarchicalGraphWarpField, dict]:
+    """Run the GN/LM loop; returns the updated field + diagnostics.
+
+    Mirrors ``DeformableMeshToImageFitter::FitToImage``
+    (``DeformableMeshToImageFitter.cpp:85-276``).
+    """
+    field, data_losses, arap_losses = _fit_program(
+        field,
+        canonical_vertices,
+        canonical_triangles,
+        reference_points,
+        reference_mask,
+        intrinsics,
+        config,
+        _max_wing_degree(field),
+    )
+    diagnostics = {
+        "data_loss": list(data_losses),
+        "arap_loss": list(arap_losses),
+    }
+    return field, diagnostics
+
+
+def _gauss_newton_step_impl(
+    field: HierarchicalGraphWarpField,
+    canonical_vertices,
+    canonical_triangles,
+    canonical_normals,
+    pre: FacePrecompute,
+    reference_points,
+    reference_mask,
+    intrinsics,
+    config: FitterConfig,
+    mode: IterationMode,
+    max_deg: int,
+):
+    h, w = reference_mask.shape
+    n = field.num_nodes
+    n0 = field.arrow_base
+    nc = n - n0
+
+    pos_v = field.virtual_positions()
+    rot_v = field.virtual_rotations()
+    trans_v = field.virtual_translations()
+
+    # ---- rasterize current warped mesh (association pass; non-diff) -------
+    warped_vertices = _warp_vertices(
+        canonical_vertices, pos_v, rot_v, trans_v, pre.anchors, pre.weights
+    )
+    face_verts_pix, valid_faces = extract_face_vertices(
+        jax.lax.stop_gradient(warped_vertices),
+        canonical_triangles,
+        intrinsics,
+        (h, w),
+        near=1e-3,
+        far=config.max_depth,
+    )
+    frag = rasterize_binned(
+        face_verts_pix,
+        valid_faces,
+        (h, w),
+        faces_per_pixel=1,
+        perspective_correct=True,
+        cull_back_faces=False,
+        tile_size=config.tile_size,
+        max_faces_per_bin=config.max_faces_per_bin,
+    )
+    frag_faces = jax.lax.stop_gradient(frag.face_indices[..., 0])  # [H, W]
+
+    if config.use_fast_data_term:
+        h_data, g_data, data_loss = _data_term_fast(
+            pos_v,
+            rot_v,
+            trans_v,
+            canonical_vertices,
+            canonical_normals,
+            canonical_triangles,
+            pre,
+            frag_faces,
+            reference_points,
+            reference_mask,
+            intrinsics,
+            config,
+            n,
+        )
+    else:
+        h_data, g_data, data_loss = _data_term_autodiff(
+            pos_v,
+            rot_v,
+            trans_v,
+            canonical_vertices,
+            canonical_normals,
+            canonical_triangles,
+            pre,
+            frag_faces,
+            reference_points,
+            reference_mask,
+            intrinsics,
+            config,
+            n,
+        )
 
     # ---- ARAP term --------------------------------------------------------
     if config.use_regularization and field.edges.shape[0] > 0:
@@ -505,3 +801,10 @@ def _warp_vertices(vertices, pos_v, rot_v, trans_v, anchors, weights):
     from dynamicfuion_python_tpu.ops.warp import blend_warp
 
     return blend_warp(vertices, pos_v, rot_v, trans_v, anchors, weights)
+
+
+# single-iteration entry point (SPMD layer + driver entry use this to shard
+# one step explicitly; fit_to_image uses the fused _fit_program instead)
+_gauss_newton_step = jax.jit(
+    _gauss_newton_step_impl, static_argnames=("config", "mode", "max_deg")
+)

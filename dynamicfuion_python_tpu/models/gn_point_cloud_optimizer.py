@@ -298,6 +298,17 @@ def optimize_point_cloud_alignment(
         loss = jnp.sum(res_w**2) + jnp.sum(e_res**2)
         return (new_rot, new_trans, valid), (loss, condition_number)
 
+    if config.num_iterations == 0:
+        # skip_solver mode (reference deform_net.py:230: stage 0_flow trains
+        # the flow net only) — identity transforms, trivially valid
+        return GnResult(
+            rot,
+            trans,
+            jnp.zeros((1,), jnp.float32),
+            jnp.array(True),
+            jnp.full((1,), jnp.inf, jnp.float32),
+        )
+
     (rot, trans, valid), (losses, condition_numbers) = jax.lax.scan(
         gn_iteration,
         (rot, trans, jnp.array(True)),

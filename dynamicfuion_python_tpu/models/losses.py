@@ -107,16 +107,83 @@ def mask_bce_loss(
     mask_prediction: jnp.ndarray,
     mask_gt: jnp.ndarray,
     valid: jnp.ndarray,
-    positive_weight: float = 1.0,
+    neg_wrt_pos_weight: float | None = 0.05,
 ) -> jnp.ndarray:
-    """Weighted binary cross-entropy (``loss.py`` mask term)."""
+    """Weighted binary cross-entropy (reference ``loss.py:88-123``): BCE per
+    valid pixel, positives weighted by ``neg_wrt_pos_weight`` (fixed mode,
+    reference default 0.05) or by the negatives/positives count ratio when
+    ``neg_wrt_pos_weight`` is None; negatives weighted 1."""
     p = jnp.clip(mask_prediction[..., 0], 1e-6, 1 - 1e-6)
-    bce = -(
-        positive_weight * mask_gt * jnp.log(p)
-        + (1 - mask_gt) * jnp.log(1 - p)
+    valid_f = valid.astype(jnp.float32)
+    bce = -(mask_gt * jnp.log(p) + (1 - mask_gt) * jnp.log(1 - p)) * valid_f
+    positives = valid_f * mask_gt
+    negatives = valid_f * (1.0 - mask_gt)
+    if neg_wrt_pos_weight is None:
+        ratio = jnp.sum(negatives) / jnp.maximum(jnp.sum(positives), 1.0)
+        pixel_weights = ratio * positives + negatives
+    else:
+        pixel_weights = neg_wrt_pos_weight * positives + negatives
+    denom = jnp.maximum(jnp.sum(valid_f), 1.0)
+    return jnp.sum(pixel_weights * bce) / denom
+
+
+def compute_baseline_mask_gt(
+    flow: jnp.ndarray,  # [B, H, W, 2] predicted dense pixel flow
+    source_points: jnp.ndarray,  # [B, H, W, 3]
+    target_points: jnp.ndarray,  # [B, H, W, 3]
+    scene_flow_gt: jnp.ndarray,  # [B, H, W, 3]
+    scene_flow_mask: jnp.ndarray,  # bool[B, H, W]
+    target_boundary_mask: jnp.ndarray,  # bool[B, H, W]
+    depth_max: float = 6.0,
+    max_pos_flowed_source_to_target_dist: float = 0.1,
+    min_neg_flowed_source_to_target_dist: float = 0.3,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Oracle correspondence-mask ground truth (reference
+    ``alignment/nn_utilities.py:151-199`` ``compute_baseline_mask_gt``):
+    a correspondence is a POSITIVE when the flow-sampled target match lands
+    within ``max_pos`` of the scene-flow-displaced source point (with valid
+    source/target and off-boundary target), a NEGATIVE when it lands beyond
+    ``min_neg`` or on the boundary; everything else is left out of the loss.
+
+    Returns (mask_gt f32[B, H, W], valid_mask_pixels bool[B, H, W]).
+    """
+    from dynamicfuion_python_tpu.ops.image_warp import grid_sample_normalized
+
+    b, h, w = scene_flow_mask.shape
+    vg, ug = jnp.mgrid[0:h, 0:w].astype(jnp.float32)
+    nx = 2.0 * (ug[None] + flow[..., 0]) / (w - 1) - 1.0
+    ny = 2.0 * (vg[None] + flow[..., 1]) / (h - 1) - 1.0
+    coords = jnp.stack([nx, ny], axis=-1)
+
+    target_matches = jax.vmap(grid_sample_normalized)(target_points, coords)
+    valid_source = (source_points[..., 2] > 0) & (
+        source_points[..., 2] <= depth_max
     )
-    denom = jnp.maximum(jnp.sum(valid), 1.0)
-    return jnp.sum(jnp.where(valid, bce, 0.0)) / denom
+    valid_target = (target_matches[..., 2] > 0) & (
+        target_matches[..., 2] <= depth_max
+    )
+    # nearest-sampled non-boundary mask >= 0.999 rule (reference uses
+    # 'nearest' grid_sample; a bilinear sample against the 0.999 threshold
+    # rejects the same any-of-4-boundary-pixels cases)
+    nonboundary = (~target_boundary_mask).astype(jnp.float32)[..., None]
+    sampled_nonboundary = jax.vmap(grid_sample_normalized)(
+        nonboundary, coords
+    )[..., 0]
+    matches_nonboundary = sampled_nonboundary >= 0.999
+
+    flowed = source_points + scene_flow_gt
+    dist = jnp.linalg.norm(flowed - target_matches, axis=-1)
+    base = scene_flow_mask & valid_source & valid_target
+    mask_pos = (
+        (dist <= max_pos_flowed_source_to_target_dist)
+        & base
+        & matches_nonboundary
+    )
+    mask_neg = ((dist > min_neg_flowed_source_to_target_dist) & base) | (
+        (~matches_nonboundary) & base
+    )
+    valid_mask_pixels = mask_pos | mask_neg
+    return mask_pos.astype(jnp.float32), valid_mask_pixels
 
 
 def total_loss(
@@ -127,6 +194,7 @@ def total_loss(
     deformed_points_gt,
     deformed_points_mask,
     mask_gt=None,
+    mask_valid=None,
     weights: LossWeights = LossWeights(),
 ):
     losses = {}
@@ -148,7 +216,9 @@ def total_loss(
         total = total + weights.lambda_warp * losses["warp"]
     if weights.use_mask_loss and mask_gt is not None and output.mask_prediction is not None:
         losses["mask"] = mask_bce_loss(
-            output.mask_prediction, mask_gt, flow_mask
+            output.mask_prediction,
+            mask_gt,
+            flow_mask if mask_valid is None else mask_valid,
         )
         total = total + weights.lambda_mask * losses["mask"]
     losses["total"] = total

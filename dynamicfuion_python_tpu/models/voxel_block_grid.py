@@ -314,7 +314,14 @@ class VoxelBlockGrid:
             )
             nrm = normals[v_safe, u_safe]
             cosine = jnp.sum(view_dir * nrm, axis=-1)
-            update = update & (cosine <= 0.5)
+            # Reject OBLIQUE readings (cosine small). The reference's own
+            # comment states this intent, but its code keeps `cosine <= 0.5`
+            # (``NonRigidSurfaceVoxelBlockGridImpl.h:191``) which — with its
+            # camera-facing normal convention (``preprocessing.py:30-38``,
+            # n_z <= 0, so head-on cosine = +1) — rejects exactly the
+            # reliable head-on voxels. Third genuine reference bug fixed here
+            # (see the module docstring for the other two).
+            update = update & (cosine > 0.5)
 
         tsdf_new = jnp.minimum(psdf, trunc) / trunc
 
@@ -450,23 +457,31 @@ class VoxelBlockGrid:
 
     # -- extraction ------------------------------------------------------------
 
-    def _stitched_volumes(self):
+    def _stitched_volumes(self, weight_threshold: float = 0.0):
         """Per-block [R+1]^3 tsdf + validity with +1 halos gathered from the
-        7 positive-direction neighbor blocks."""
+        7 positive-direction neighbor blocks.
+
+        ``weight_threshold`` > 0 excludes voxels with integration weight
+        below it (the reference's mesh-extraction weight thresholding,
+        ``VoxelBlockGrid::ExtractTriangleMesh(weight_threshold, ...)``)."""
         r = self.block_resolution
         cap = self.capacity
         coords = self.block_coordinates()
+        thr = max(float(weight_threshold), 0.0)
+
+        def weight_ok(wgt):
+            return wgt >= thr if thr > 0 else wgt > 0
 
         tsdf_p = jnp.zeros((cap, r + 1, r + 1, r + 1), jnp.float32)
         valid_p = jnp.zeros((cap, r + 1, r + 1, r + 1), bool)
         tsdf_p = tsdf_p.at[:, :r, :r, :r].set(self.tsdf)
-        valid_p = valid_p.at[:, :r, :r, :r].set(self.weight > 0)
+        valid_p = valid_p.at[:, :r, :r, :r].set(weight_ok(self.weight))
 
         def neighbor_data(offset):
             keys = vbh.pack_block_keys(coords + jnp.asarray(offset, jnp.int32))
             slots, found = self.find_block_slots(keys)
             nb_tsdf = self.tsdf[slots]
-            nb_valid = (self.weight[slots] > 0) & found[:, None, None, None]
+            nb_valid = weight_ok(self.weight[slots]) & found[:, None, None, None]
             return nb_tsdf, nb_valid
 
         # face neighbors
@@ -503,10 +518,10 @@ class VoxelBlockGrid:
         return tsdf_p, valid_p
 
     def extract_triangle_soup(
-        self, max_triangles: int = 200_000
+        self, max_triangles: int = 200_000, weight_threshold: float = 0.0
     ) -> tuple[jnp.ndarray, jnp.ndarray]:
         """Zero-isosurface triangle soup f32[max_triangles, 3, 3] + count."""
-        tsdf_p, valid_p = self._stitched_volumes()
+        tsdf_p, valid_p = self._stitched_volumes(weight_threshold)
         origins = (
             self.block_coordinates().astype(jnp.float32)
             * self.block_side()
@@ -519,6 +534,7 @@ class VoxelBlockGrid:
         self,
         max_triangles: int = 200_000,
         max_vertices: int | None = None,
+        weight_threshold: float = 0.0,
     ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         """Welded zero-isosurface mesh (shared vertices), mirroring the
         reference's ``VoxelBlockGrid::ExtractTriangleMesh``
@@ -540,7 +556,7 @@ class VoxelBlockGrid:
             # Euler bound: a closed triangle mesh has ~T/2 vertices; soup
             # welding never produces more than 3T/2 + 2 for open surfaces.
             max_vertices = max_triangles * 3 // 2 + 2
-        soup, tri_count = self.extract_triangle_soup(max_triangles)
+        soup, tri_count = self.extract_triangle_soup(max_triangles, weight_threshold)
         verts = soup.reshape(-1, 3)
         tri_valid = jnp.arange(max_triangles) < tri_count
         # 1e-6 m quantization grid; int32 range covers +-2147 m of scene

@@ -418,20 +418,21 @@ def rasterize_binned(
     order = jnp.argsort(sort_key, stable=True)
     sorted_tiles = sort_key[order]
     sorted_faces = face_all[order]
-    # rank within tile segment = index - first index of the segment, found by
-    # binary search on the sorted keys (compiles to one op, unlike a scan)
-    idx = jnp.arange(sorted_tiles.shape[0])
-    seg_start = jnp.searchsorted(sorted_tiles, sorted_tiles, side="left")
-    rank = idx - seg_start
-    keep = (sorted_tiles < num_tiles) & (rank < max_faces_per_bin)
-
-    # scatter into [num_tiles, max_faces_per_bin] table
-    dest = jnp.where(
-        keep, sorted_tiles * max_faces_per_bin + rank, num_tiles * max_faces_per_bin
+    # per-tile segment starts via binary search over the num_tiles tile ids
+    # (cheap: num_tiles queries), then GATHER each tile's first
+    # max_faces_per_bin entries — a [T, K] gather instead of a 2M-element
+    # scatter, which XLA serializes on TPU (measured 430 ms vs ~10 ms).
+    starts = jnp.searchsorted(
+        sorted_tiles, jnp.arange(num_tiles + 1, dtype=sorted_tiles.dtype),
+        side="left",
+    )  # [T+1]
+    take = starts[:num_tiles, None] + jnp.arange(max_faces_per_bin)[None]
+    within = take < starts[1 : num_tiles + 1, None]
+    table = jnp.where(
+        within,
+        sorted_faces[jnp.minimum(take, sorted_faces.shape[0] - 1)],
+        -1,
     )
-    table = jnp.zeros((num_tiles * max_faces_per_bin + 1,), jnp.int32) - 1
-    table = table.at[dest].set(jnp.where(keep, sorted_faces, -1))
-    table = table[:-1].reshape(num_tiles, max_faces_per_bin)
 
     # --- phase 2: per-tile rasterization
     fv_safe = jnp.where(valid_faces[:, None, None], fv, -1e9)
@@ -496,7 +497,12 @@ def rasterize_binned(
             "dropped_large_faces": jnp.sum(large)
             - jnp.sum(has_large & large[safe_large]),
             "dropped_bin_entries": jnp.sum(
-                (sorted_tiles < num_tiles) & (rank >= max_faces_per_bin)
+                jnp.maximum(
+                    starts[1 : num_tiles + 1]
+                    - starts[:num_tiles]
+                    - max_faces_per_bin,
+                    0,
+                )
             ),
         }
         return frag, overflow
@@ -625,7 +631,12 @@ def rasterize_binned(
     overflow = {
         "dropped_large_faces": jnp.sum(large) - jnp.sum(has_large & large[safe_large]),
         "dropped_bin_entries": jnp.sum(
-            (sorted_tiles < num_tiles) & (rank >= max_faces_per_bin)
+            jnp.maximum(
+                starts[1 : num_tiles + 1]
+                - starts[:num_tiles]
+                - max_faces_per_bin,
+                0,
+            )
         ),
     }
     return frag, overflow

@@ -24,13 +24,36 @@ class GraphGenerationMode(enum.Enum):
 
 
 class AnchorComputationMode(enum.Enum):
+    """Reference ``settings/fusion.py`` ``AnchorComputationMode``."""
+
     EUCLIDEAN = 0
     SHORTEST_PATH = 1
+    PRECOMPUTED = 2
 
 
 class TrackingSpanMode(enum.Enum):
-    ZERO_TO_T = 0
-    T_MINUS_ONE_TO_T = 1
+    """Reference ``settings/fusion.py`` ``TrackingSpanMode``."""
+
+    FIRST_TO_CURRENT = 0
+    PREVIOUS_TO_CURRENT = 1
+    KEYFRAME_TO_CURRENT = 2
+
+
+class SourceImageMode(enum.Enum):
+    """Reference ``settings/fusion.py`` ``SourceImageMode`` (how the neural
+    prior's source RGBD pair is produced)."""
+
+    IMAGE_ONLY = 0
+    RENDERED_ONLY = 1
+    RENDERED_WITH_PREVIOUS_FRAME_OVERLAY = 2
+
+
+class MeshExtractionWeightThresholdingMode(enum.Enum):
+    """Reference ``settings/fusion.py``
+    ``MeshExtractionWeightThresholdingMode``."""
+
+    CONSTANT = 0
+    RAMP_UP_TO_CONSTANT = 1
 
 
 @config_node
@@ -92,10 +115,22 @@ class FusionConfig:
     pixel_anchor_computation_mode: AnchorComputationMode = (
         AnchorComputationMode.EUCLIDEAN
     )
-    tracking_span_mode: TrackingSpanMode = TrackingSpanMode.ZERO_TO_T
+    tracking_span_mode: TrackingSpanMode = TrackingSpanMode.FIRST_TO_CURRENT
+    source_image_mode: SourceImageMode = SourceImageMode.IMAGE_ONLY
+    keyframe_interval: int = 50
     start_at_frame: int = 0
     run_until_frame: int = -1
     extraction_max_triangles: int = 400000
+    # mesh-extraction weight thresholding (reference
+    # determine_mesh_extraction_threshold, pipeline.py:451-462)
+    mesh_extraction_weight_thresholding_mode: MeshExtractionWeightThresholdingMode = (
+        MeshExtractionWeightThresholdingMode.RAMP_UP_TO_CONSTANT
+    )
+    mesh_extraction_weight_threshold: float = 10.0
+    # neural tracking prior (SURVEY §0: dense-depth fitter primary, neural
+    # tracking as prior/bootstrap initializing node transforms each frame)
+    use_neural_prior: bool = False
+    prior_checkpoint: str = ""
 
 
 @config_node

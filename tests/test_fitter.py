@@ -216,3 +216,72 @@ class TestFaceAssociations:
                         assert slot == -1
                     else:
                         assert fn[f, slot] == a
+
+
+class TestDataTermParity:
+    """The TPU-layout-optimized analytic data term must match the
+    vmapped-jacrev oracle bit-for-bit (same guards, same chain)."""
+
+    @pytest.mark.parametrize("lump", [True, False])
+    @pytest.mark.parametrize("tukey", [True, False])
+    def test_fast_matches_autodiff(self, lump, tukey):
+        from dynamicfuion_python_tpu.models.fitter import (
+            _data_term_autodiff,
+            _data_term_fast,
+        )
+        from dynamicfuion_python_tpu.ops.normals import mesh_vertex_normals
+        from dynamicfuion_python_tpu.ops.rasterize import (
+            extract_face_vertices,
+            rasterize_binned,
+        )
+
+        rng = np.random.default_rng(4)
+        verts, tris = _plane_mesh(nu=12, nv=12)
+        field = _field_over_mesh(verts, node_stride=12, coverage=0.3)
+        # perturb the field so rotations are non-identity and jacobians
+        # exercise the full chain
+        field = field.rotate_nodes_virtual(
+            jnp.asarray(
+                rng.normal(scale=0.05, size=(field.num_nodes, 3)).astype(
+                    np.float32
+                )
+            )
+        )
+        field = field.translate_nodes_virtual(
+            jnp.asarray(
+                rng.normal(scale=0.01, size=(field.num_nodes, 3)).astype(
+                    np.float32
+                )
+            )
+        )
+        pre = precompute_face_associations(field, verts, tris)
+        normals = mesh_vertex_normals(verts, tris)
+        pos_v = field.virtual_positions()
+        rot_v = field.virtual_rotations()
+        trans_v = field.virtual_translations()
+        warped = verts  # rasterize the canonical mesh: fragments only
+        fv, valid = extract_face_vertices(warped, tris, INTR, (H, W))
+        frag = rasterize_binned(fv, valid, (H, W), faces_per_pixel=1)
+        frag_faces = frag.face_indices[..., 0]
+        ref_pts = jnp.asarray(
+            rng.normal(scale=0.1, size=(H, W, 3)).astype(np.float32)
+        ) + jnp.asarray([0.0, 0.0, 1.0])
+        ref_mask = jnp.asarray(rng.uniform(size=(H, W)) > 0.2)
+        config = FitterConfig(
+            use_tukey_penalty=tukey, tukey_cutoff=0.1, lump_data_hessian=lump
+        )
+        args = (
+            pos_v, rot_v, trans_v, verts, normals, tris, pre, frag_faces,
+            ref_pts, ref_mask, INTR, config, field.num_nodes,
+        )
+        h_a, g_a, loss_a = _data_term_autodiff(*args)
+        h_f, g_f, loss_f = _data_term_fast(*args)
+        np.testing.assert_allclose(
+            np.asarray(loss_f), np.asarray(loss_a), rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(g_f), np.asarray(g_a), rtol=1e-4, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(h_f), np.asarray(h_a), rtol=1e-4, atol=1e-5
+        )
