@@ -100,6 +100,8 @@ class FusionPipeline:
         self.keyframe_anchors: tuple | None = None  # (anchors, weights)
         self.node_graph_edges: np.ndarray | None = None  # flat 8-NN edges
         self.renderer = None
+        self.telemetry = None  # set by run_fusion; recorder hooks
+        self._last_prior_arrays: dict = {}
         a = params.alignment
         self.fitter_config = FitterConfig(
             max_iterations=a.max_iteration_count,
@@ -476,6 +478,10 @@ class FusionPipeline:
             initial_rotations=r_est,
             initial_translations=t_est,
         )
+        self._last_prior_arrays = {
+            "source_points": np.asarray(source[..., 3:]),
+            "correspondence_mask": np.asarray(result.correspondence_mask),
+        }
         if result.valid_solve:
             # compose span prediction onto the keyframe snapshot:
             # R_cum' = R_span @ R_k ; t_cum' = t_k + t_span
@@ -609,6 +615,37 @@ class FusionPipeline:
         self._refresh_canonical_mesh()
         if self.keyframe_source is not None and self._keyframe_should_roll():
             self._reset_keyframe(depth, color)
+        if self.telemetry is not None:
+            frame_idx = self.frames_processed
+            self.telemetry.record_gn_iterations(
+                frame_idx,
+                diagnostics["data_loss"],
+                diagnostics["arap_loss"],
+                diagnostics.get("node_translations_per_iteration"),
+                self.warp_field.node_positions,
+            )
+            if self._last_prior_arrays:
+                self.telemetry.record_correspondences(
+                    frame_idx, **self._last_prior_arrays
+                )
+            if self.telemetry.config.record_rendered_warped_mesh:
+                if self.renderer is None:
+                    from dynamicfuion_python_tpu.models.renderer import (
+                        MeshRenderer,
+                    )
+
+                    self.renderer = MeshRenderer(
+                        depth.shape[:2], self.intrinsics
+                    )
+                warped_verts = self.warp_field.warp_points(
+                    self.canonical_vertices
+                )
+                color_r, depth_r = self.renderer.render_mesh(
+                    warped_verts, self.canonical_triangles
+                )
+                self.telemetry.record_rendered_warped_mesh(
+                    frame_idx, color_r, depth_r
+                )
         return {
             "data_loss": [float(x) for x in diagnostics["data_loss"]],
             "arap_loss": [float(x) for x in diagnostics["arap_loss"]],
@@ -707,6 +744,7 @@ def run_fusion(
     telemetry = TelemetryRecorder(params.telemetry, run_name)
     intrinsics = sequence.intrinsics
     pipeline = FusionPipeline(params, intrinsics)
+    pipeline.telemetry = telemetry
     resume_after = -1
     if resume and checkpoint_dir is not None:
         volume, field, resume_after = load_fusion_checkpoint(checkpoint_dir)

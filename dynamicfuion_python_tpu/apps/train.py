@@ -133,6 +133,7 @@ def _forward_and_loss(model, params, batch, stage: StageConfig):
         batch["pixel_anchors"],
         batch["pixel_weights"],
         batch["intrinsics"],
+        match_subsample_uniforms=batch.get("match_subsample_uniforms"),
     )
 
     # too-large-translation invalidation (reference apps/train.py:369-384):
@@ -240,7 +241,8 @@ def make_eval_step(model: DeformNet, stage: StageConfig):
 
 
 def _stage_optimizer(stage: StageConfig, params, learning_rate, use_adam,
-                     momentum=0.9, use_lr_scheduler=True, step_lr=1000):
+                     momentum=0.9, use_lr_scheduler=True, step_lr=1000,
+                     weight_decay=0.0):
     """SGD+StepLR by default (the published recipe,
     settings/training.py:28-45); Adam optional. Frozen subtrees (per stage)
     get zero updates via optax.multi_transform."""
@@ -256,6 +258,10 @@ def _stage_optimizer(stage: StageConfig, params, learning_rate, use_adam,
         if use_adam
         else optax.sgd(schedule, momentum=momentum)
     )
+    if weight_decay > 0:
+        base = optax.chain(
+            optax.add_decayed_weights(weight_decay), base
+        )
 
     def label_fn(tree):
         def label_path(path):
@@ -281,20 +287,36 @@ def _stage_optimizer(stage: StageConfig, params, learning_rate, use_adam,
 def train(
     data_root: str,
     stage: str = "1_solver",
-    batch_size: int = 2,
-    learning_rate: float = 1e-5,
-    iterations: int = 100,
+    batch_size: int | None = None,
+    learning_rate: float | None = None,
+    iterations: int | None = None,
     max_nodes: int = 128,
     checkpoint_dir: str = "output/checkpoints",
     eval_every: int = 50,
     seed: int = 0,
     image_size=None,
     node_coverage: float = 0.05,
-    use_adam: bool = False,
-    momentum: float = 0.9,
+    use_adam: bool | None = None,
+    momentum: float | None = None,
     use_lr_scheduler: bool = True,
     step_lr: int = 1000,
+    training_config=None,
 ):
+    """``training_config`` (settings.TrainingConfig) supplies the reference
+    defaults (batch size, lr, SGD momentum, weight decay, Adam toggle, match
+    budgets); explicit arguments override."""
+    from dynamicfuion_python_tpu.settings import TrainingConfig
+
+    cfg = training_config or TrainingConfig()
+    batch_size = cfg.batch_size if batch_size is None else batch_size
+    learning_rate = (
+        cfg.learning_rate if learning_rate is None else learning_rate
+    )
+    use_adam = cfg.use_adam if use_adam is None else use_adam
+    momentum = cfg.momentum if momentum is None else momentum
+    weight_decay = cfg.weight_decay
+    gn_max_matches_train = cfg.gn_max_matches_train
+    shuffle = cfg.shuffle
     dataset = DeformDataset(
         Path(data_root) / "train", max_nodes=max_nodes, image_size=image_size,
         node_coverage=node_coverage
@@ -314,12 +336,27 @@ def train(
     weights = stage_cfg.weights
 
     sample = dataset.batch([0])
+    if iterations is None:
+        # reference recipe: `epochs` passes over the dataset
+        iterations = max(
+            1, cfg.epochs * ((len(dataset) + batch_size - 1) // batch_size)
+        )
     model = DeformNet(
         use_mask=stage_cfg.use_mask_net,
         num_nodes=max_nodes,
         gn_config=GnConfig(
             num_iterations=0 if stage_cfg.skip_solver else 3, lm_factor=0.1
         ),
+        gn_max_matches=gn_max_matches_train,
+    )
+    # eval uses the val-split match budget (reference gn_max_matches_eval)
+    model_eval = DeformNet(
+        use_mask=stage_cfg.use_mask_net,
+        num_nodes=max_nodes,
+        gn_config=GnConfig(
+            num_iterations=0 if stage_cfg.skip_solver else 3, lm_factor=0.1
+        ),
+        gn_max_matches=cfg.gn_max_matches_eval,
     )
     rng = jax.random.PRNGKey(seed)
     params = model.init(
@@ -337,10 +374,11 @@ def train(
     optimizer = _stage_optimizer(
         stage_cfg, params, learning_rate, use_adam=use_adam,
         momentum=momentum, use_lr_scheduler=use_lr_scheduler, step_lr=step_lr,
+        weight_decay=weight_decay,
     )
     opt_state = optimizer.init(params)
     train_step = make_train_step(model, optimizer, stage_cfg)
-    eval_step = make_eval_step(model, stage_cfg)
+    eval_step = make_eval_step(model_eval, stage_cfg)
 
     ckpt_dir = Path(checkpoint_dir)
     ckpt_dir.mkdir(parents=True, exist_ok=True)
@@ -365,10 +403,24 @@ def train(
                 for z in target_z
             ]
         )
+        # per-batch uniforms for the gn_max_matches random subsampling
+        batch["match_subsample_uniforms"] = np_rng.uniform(
+            size=batch["target"].shape[:3]
+        ).astype(np.float32)
         return {k: jnp.asarray(v) for k, v in batch.items()}
 
     for it in range(iterations):
-        idx = np_rng.choice(len(dataset), size=min(batch_size, len(dataset)), replace=len(dataset) < batch_size)
+        if shuffle:
+            idx = np_rng.choice(
+                len(dataset), size=min(batch_size, len(dataset)),
+                replace=len(dataset) < batch_size,
+            )
+        else:
+            base = it * batch_size
+            idx = [
+                (base + j) % len(dataset)
+                for j in range(min(batch_size, len(dataset)))
+            ]
         batch = prepare(dataset.batch(idx))
         params, opt_state, loss, parts = train_step(params, opt_state, batch)
         history.append(float(loss))

@@ -82,6 +82,8 @@ def track_from_flow(
     initial_rotations: jnp.ndarray | None = None,  # [B, N, 3, 3]
     initial_translations: jnp.ndarray | None = None,  # [B, N, 3]
     num_nodes: int = 0,
+    max_matches: int = 0,
+    match_subsample_uniforms: jnp.ndarray | None = None,  # [B, H, W] U(0,1)
 ) -> dict:
     """Everything in the neural tracker downstream of the networks: flow ->
     grid-sampled correspondences + validity masks -> (optional bidirectional
@@ -155,6 +157,21 @@ def track_from_flow(
         correspondence_weights = jnp.where(
             bidir_ok, correspondence_weights, 0.0
         )
+
+    # random match subsampling to the ``gn_max_matches_*`` budget (the
+    # reference randomly permutes and keeps exactly max_matches,
+    # deform_net.py:338-357; with static shapes we keep each valid match
+    # with probability max_matches / count — same expected budget)
+    if max_matches > 0 and match_subsample_uniforms is not None:
+        count = jnp.sum(
+            correspondence_mask, axis=(1, 2), keepdims=True
+        ).astype(jnp.float32)
+        keep_prob = jnp.minimum(
+            1.0, max_matches / jnp.maximum(count, 1.0)
+        )
+        keep = match_subsample_uniforms < keep_prob
+        correspondence_mask = correspondence_mask & keep
+        correspondence_weights = jnp.where(keep, correspondence_weights, 0.0)
 
     # ---- per-batch GN solve (static match capacity = H*W) -------------
     n_static = num_nodes or graph_nodes.shape[1]
@@ -323,6 +340,9 @@ class DeformNet(nn.Module):
     # contributes ~1 across its 4 normalized anchor weights)
     remove_clusters_with_few_matches: bool = True
     min_num_correspondences_per_cluster: float = 2000.0
+    # random match-count budget (reference gn_max_matches_train/eval);
+    # active only when the caller supplies match_subsample_uniforms
+    gn_max_matches: int = 0
 
     @nn.compact
     def __call__(
@@ -339,6 +359,7 @@ class DeformNet(nn.Module):
         evaluate: bool = False,
         node_rotations_estimate: jnp.ndarray | None = None,  # [B, N, 3, 3]
         node_translations_estimate: jnp.ndarray | None = None,  # [B, N, 3]
+        match_subsample_uniforms: jnp.ndarray | None = None,  # [B, H, W]
     ) -> DeformNetOutput:
         b, h, w, _ = source.shape
         if h % 64 or w % 64:
@@ -422,6 +443,8 @@ class DeformNet(nn.Module):
             initial_rotations=node_rotations_estimate,
             initial_translations=node_translations_estimate,
             num_nodes=self.num_nodes or graph_nodes.shape[1],
+            max_matches=self.gn_max_matches,
+            match_subsample_uniforms=match_subsample_uniforms,
         )
 
         return DeformNetOutput(

@@ -569,6 +569,7 @@ def _fit_program(
     )
     data_losses = []
     arap_losses = []
+    translations_per_iteration = []
     # iteration modes are static per iteration -> unrolled Python loop
     for iteration in range(config.max_iterations):
         mode = config.mode_for_iteration(iteration)
@@ -587,7 +588,13 @@ def _fit_program(
         )
         data_losses.append(data_loss)
         arap_losses.append(arap_loss)
-    return field, jnp.stack(data_losses), jnp.stack(arap_losses)
+        translations_per_iteration.append(field.node_translations)
+    return (
+        field,
+        jnp.stack(data_losses),
+        jnp.stack(arap_losses),
+        jnp.stack(translations_per_iteration),
+    )
 
 
 def fit_to_image(
@@ -604,7 +611,7 @@ def fit_to_image(
     Mirrors ``DeformableMeshToImageFitter::FitToImage``
     (``DeformableMeshToImageFitter.cpp:85-276``).
     """
-    field, data_losses, arap_losses = _fit_program(
+    field, data_losses, arap_losses, trans_per_iter = _fit_program(
         field,
         canonical_vertices,
         canonical_triangles,
@@ -617,6 +624,7 @@ def fit_to_image(
     diagnostics = {
         "data_loss": list(data_losses),
         "arap_loss": list(arap_losses),
+        "node_translations_per_iteration": trans_per_iter,
     }
     return field, diagnostics
 

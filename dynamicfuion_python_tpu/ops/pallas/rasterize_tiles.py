@@ -174,7 +174,13 @@ def _make_kernel(tile_size: int, tw: int, perspective: bool, cull: bool, num_chu
 
 @functools.partial(
     jax.jit,
-    static_argnames=("tile_size", "tw", "perspective_correct", "cull_back_faces"),
+    static_argnames=(
+        "tile_size",
+        "tw",
+        "perspective_correct",
+        "cull_back_faces",
+        "interpret",
+    ),
 )
 def rasterize_tiles_pallas(
     tile_face_data: jnp.ndarray,  # f32[T, 16, K] SoA face vertices per tile
@@ -184,9 +190,12 @@ def rasterize_tiles_pallas(
     tw: int,
     perspective_correct: bool = True,
     cull_back_faces: bool = False,
+    interpret: bool = False,
 ):
     """-> (face i32[T, P], depth f32[T, P], bary f32[T, 3, P], d2 f32[T, P]);
-    tile_size must be 16 (P = 256)."""
+    tile_size must be 16 (P = 256). ``interpret`` runs the kernel in pallas
+    interpret mode (CPU-testable, mirroring the reference's CPU/CUDA paired
+    tests)."""
     t, _, k = tile_face_data.shape
     if tile_size * tile_size != _P:
         raise ValueError("pallas rasterizer is specialized for 16x16 tiles")
@@ -217,5 +226,6 @@ def rasterize_tiles_pallas(
             jax.ShapeDtypeStruct((t, 3, _P), jnp.float32),
             jax.ShapeDtypeStruct((t, 1, _P), jnp.float32),
         ),
+        interpret=interpret,
     )(tile_face_data, tile_face_ids[:, None, :], blur)
     return face[:, 0], depth[:, 0], bary, dist[:, 0]

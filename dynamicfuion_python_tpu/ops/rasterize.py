@@ -67,13 +67,21 @@ def extract_face_vertices(
     """
     fx, fy = intrinsics[0, 0], intrinsics[1, 1]
     cx, cy = intrinsics[0, 2], intrinsics[1, 2]
-    face_verts = vertices[triangles]  # [F, 3, 3]
-    z = face_verts[..., 2]
-    valid = jnp.all((z > near) & (z < far), axis=-1)
-    safe_z = jnp.where(jnp.abs(z) > 1e-9, z, 1e-9)
-    u = face_verts[..., 0] / safe_z * fx + cx
-    v = face_verts[..., 1] / safe_z * fy + cy
-    return jnp.stack([u, v, z], axis=-1), valid
+    f = triangles.shape[0]
+    # per-corner 1-D gathers + [F]-shaped math (a [F, 3, 3] intermediate
+    # pads each face to a full TPU tile — ~10x slower at millions of faces)
+    cols = []
+    valid = None
+    for i in range(3):
+        vi = vertices[triangles[:, i]]  # [F, 3]
+        z = vi[:, 2]
+        ok = (z > near) & (z < far)
+        valid = ok if valid is None else (valid & ok)
+        safe_z = jnp.where(jnp.abs(z) > 1e-9, z, 1e-9)
+        cols.append(vi[:, 0] / safe_z * fx + cx)
+        cols.append(vi[:, 1] / safe_z * fy + cy)
+        cols.append(z)
+    return jnp.stack(cols, axis=-1).reshape(f, 3, 3), valid
 
 
 def pixel_to_ndc(face_vertices_pix: jnp.ndarray, image_size) -> jnp.ndarray:
@@ -356,38 +364,92 @@ def rasterize_binned(
     margin = blur_radius
 
     fv = face_vertices
-    u = fv[..., 0]
-    v = fv[..., 1]
-    u0 = jnp.clip(((jnp.min(u, 1) - margin) / tile_size), 0, tw - 1).astype(jnp.int32)
-    u1 = jnp.clip(((jnp.max(u, 1) + margin) / tile_size), 0, tw - 1).astype(jnp.int32)
-    v0 = jnp.clip(((jnp.min(v, 1) - margin) / tile_size), 0, th - 1).astype(jnp.int32)
-    v1 = jnp.clip(((jnp.max(v, 1) + margin) / tile_size), 0, th - 1).astype(jnp.int32)
+    # one relayout to [F, 9] so every AABB op below runs on 1-D [F] columns
+    # ([F, 3, 3] arrays pad each face's tiny trailing dims to a full TPU
+    # (8, 128) tile — measured ~10x slower for this phase)
+    fv9 = fv.reshape(f, 9)
+    us = (fv9[:, 0], fv9[:, 3], fv9[:, 6])
+    vs = (fv9[:, 1], fv9[:, 4], fv9[:, 7])
+    u_min = jnp.minimum(jnp.minimum(us[0], us[1]), us[2])
+    u_max = jnp.maximum(jnp.maximum(us[0], us[1]), us[2])
+    v_min = jnp.minimum(jnp.minimum(vs[0], vs[1]), vs[2])
+    v_max = jnp.maximum(jnp.maximum(vs[0], vs[1]), vs[2])
+    u0 = jnp.clip((u_min - margin) / tile_size, 0, tw - 1).astype(jnp.int32)
+    u1 = jnp.clip((u_max + margin) / tile_size, 0, tw - 1).astype(jnp.int32)
+    v0 = jnp.clip((v_min - margin) / tile_size, 0, th - 1).astype(jnp.int32)
+    v1 = jnp.clip((v_max + margin) / tile_size, 0, th - 1).astype(jnp.int32)
     on_screen = (
         valid_faces
-        & (jnp.max(u, 1) >= -margin)
-        & (jnp.min(u, 1) < w + margin)
-        & (jnp.max(v, 1) >= -margin)
-        & (jnp.min(v, 1) < h + margin)
+        & (u_max >= -margin)
+        & (u_min < w + margin)
+        & (v_max >= -margin)
+        & (v_min < h + margin)
     )
     span_x = u1 - u0 + 1
     span_y = v1 - v0 + 1
-    small = on_screen & (span_x <= small_span) & (span_y <= small_span)
-    large = on_screen & ~small
+    # three tiers: faces spanning <= 2x2 tiles are fully covered by their
+    # four AABB-corner tiles (the common case for dense fusion meshes —
+    # 4 pairs/face instead of small_span^2 = 16); spans up to ``small_span``
+    # go through a capped medium path for their non-corner tiles; anything
+    # bigger through the capped large path over its full AABB
+    small2 = on_screen & (span_x <= 2) & (span_y <= 2)
+    medium = (
+        on_screen & ~small2 & (span_x <= small_span) & (span_y <= small_span)
+    )
+    large = on_screen & ~small2 & ~medium
 
-    # --- small-face pairs: static small_span^2 offsets per face
+    # --- corner pairs (small + medium faces): 4 x [F] 1-D arrays
+    not_large = small2 | medium
+    face_ids = jnp.arange(f, dtype=jnp.int32)
+    corner_tiles = []
+    corner_ok = []
+    for cu, cv, distinct in (
+        (u0, v0, None),
+        (u1, v0, "u"),
+        (u0, v1, "v"),
+        (u1, v1, "uv"),
+    ):
+        ok = not_large
+        if distinct in ("u", "uv"):
+            ok = ok & (u1 > u0)
+        if distinct in ("v", "uv"):
+            ok = ok & (v1 > v0)
+        corner_tiles.append(cv * tw + cu)
+        corner_ok.append(ok)
+    tile_s = jnp.concatenate(corner_tiles)
+    face_s = jnp.concatenate([face_ids] * 4)
+    ok_s = jnp.concatenate(corner_ok)
+
+    # --- medium-face pairs: capped set x small_span^2 offsets, corner tiles
+    # excluded (already emitted above)
+    max_medium_faces = max_large_faces * 16
+    (med_ids,) = jnp.nonzero(medium, size=max_medium_faces, fill_value=f)
+    has_med = med_ids < f
+    safe_med = jnp.where(has_med, med_ids, 0)
     offs = jnp.arange(small_span)
     dx = jnp.tile(offs, small_span)
     dy = jnp.repeat(offs, small_span)
-    tx = u0[:, None] + dx[None]
-    ty = v0[:, None] + dy[None]
-    pair_ok_s = (
-        small[:, None] & (tx <= u1[:, None]) & (ty <= v1[:, None])
+    mu0 = u0[safe_med]
+    mu1 = u1[safe_med]
+    mv0 = v0[safe_med]
+    mv1 = v1[safe_med]
+    tx = mu0[:, None] + dx[None]
+    ty = mv0[:, None] + dy[None]
+    is_corner = ((tx == mu0[:, None]) | (tx == mu1[:, None])) & (
+        (ty == mv0[:, None]) | (ty == mv1[:, None])
     )
-    tile_s = (ty * tw + tx).reshape(-1)
-    face_s = jnp.broadcast_to(
-        jnp.arange(f, dtype=jnp.int32)[:, None], (f, small_span * small_span)
+    pair_ok_m = (
+        has_med[:, None]
+        & (tx <= mu1[:, None])
+        & (ty <= mv1[:, None])
+        & ~is_corner
+    )
+    tile_m = (ty * tw + tx).reshape(-1)
+    face_m = jnp.broadcast_to(
+        safe_med[:, None].astype(jnp.int32),
+        (max_medium_faces, small_span * small_span),
     ).reshape(-1)
-    ok_s = pair_ok_s.reshape(-1)
+    ok_m = pair_ok_m.reshape(-1)
 
     # --- large-face pairs: capped face set x all tiles, masked to each AABB
     (large_ids,) = jnp.nonzero(large, size=max_large_faces, fill_value=f)
@@ -409,9 +471,9 @@ def rasterize_binned(
     ).reshape(-1)
     ok_l = in_box.reshape(-1)
 
-    tile_all = jnp.concatenate([tile_s, tile_l])
-    face_all = jnp.concatenate([face_s, face_l])
-    ok_all = jnp.concatenate([ok_s, ok_l])
+    tile_all = jnp.concatenate([tile_s, tile_m, tile_l])
+    face_all = jnp.concatenate([face_s, face_m, face_l])
+    ok_all = jnp.concatenate([ok_s, ok_m, ok_l])
 
     # sort pairs by tile; invalid pairs sort last
     sort_key = jnp.where(ok_all, tile_all, num_tiles)
@@ -467,6 +529,10 @@ def rasterize_binned(
             tw,
             perspective_correct=perspective_correct,
             cull_back_faces=cull_back_faces,
+            # 'force' off-TPU = pallas interpret mode (CPU-testable)
+            interpret=(
+                use_pallas == "force" and jax.default_backend() != "tpu"
+            ),
         )
         # note: clip_barycentrics is a no-op for K=1 hard rasterization of
         # interior pixels; blur-region pixels keep unclipped coordinates
@@ -494,8 +560,12 @@ def rasterize_binned(
         if not return_overflow:
             return frag
         overflow = {
-            "dropped_large_faces": jnp.sum(large)
-            - jnp.sum(has_large & large[safe_large]),
+            "dropped_large_faces": (
+                jnp.sum(large)
+                - jnp.sum(has_large & large[safe_large])
+                + jnp.sum(medium)
+                - jnp.sum(has_med & medium[safe_med])
+            ),
             "dropped_bin_entries": jnp.sum(
                 jnp.maximum(
                     starts[1 : num_tiles + 1]
@@ -629,7 +699,12 @@ def rasterize_binned(
     if not return_overflow:
         return frag
     overflow = {
-        "dropped_large_faces": jnp.sum(large) - jnp.sum(has_large & large[safe_large]),
+        "dropped_large_faces": (
+            jnp.sum(large)
+            - jnp.sum(has_large & large[safe_large])
+            + jnp.sum(medium)
+            - jnp.sum(has_med & medium[safe_med])
+        ),
         "dropped_bin_entries": jnp.sum(
             jnp.maximum(
                 starts[1 : num_tiles + 1]

@@ -142,6 +142,15 @@ class TelemetryConfig:
     record_canonical_meshes: bool = True
     record_warped_meshes: bool = True
     record_frame_metrics: bool = True
+    # per-GN-iteration losses + warped node point clouds (reference
+    # telemetry_generator.py:88-113 gn point-cloud recorder)
+    record_gn_point_clouds: bool = False
+    # prior correspondence sets + mask predictions (reference
+    # process_correspondences)
+    record_correspondences: bool = False
+    # rendered warped-mesh color/depth PNGs (reference
+    # process_rendering_result)
+    record_rendered_warped_mesh: bool = False
     print_frame_info: bool = False
     print_runtime: bool = True
 

@@ -87,6 +87,83 @@ class TelemetryRecorder:
                 self.run_dir / f"{frame_index:06d}_warped_mesh.ply", warped
             )
 
+    def record_gn_iterations(
+        self,
+        frame_index: int,
+        data_losses,
+        arap_losses,
+        node_translations_per_iteration=None,
+        node_positions=None,
+    ):
+        """Per-GN-iteration losses + warped node point clouds (reference
+        ``process_gn_point_clouds``, telemetry_generator.py:88-113)."""
+        if not self.config.record_gn_point_clouds:
+            return
+        np.savez_compressed(
+            self.run_dir / f"{frame_index:06d}_gn_iterations.npz",
+            data_losses=np.asarray(data_losses, np.float32),
+            arap_losses=np.asarray(arap_losses, np.float32),
+            **(
+                {
+                    "node_translations": np.asarray(
+                        node_translations_per_iteration, np.float32
+                    )
+                }
+                if node_translations_per_iteration is not None
+                else {}
+            ),
+            **(
+                {"node_positions": np.asarray(node_positions, np.float32)}
+                if node_positions is not None
+                else {}
+            ),
+        )
+
+    def record_correspondences(
+        self,
+        frame_index: int,
+        source_points=None,
+        target_matches=None,
+        correspondence_mask=None,
+        mask_prediction=None,
+    ):
+        """Correspondence sets + mask predictions from the tracking prior
+        (reference ``process_correspondences``)."""
+        if not self.config.record_correspondences:
+            return
+        arrays = {}
+        if source_points is not None:
+            arrays["source_points"] = np.asarray(source_points, np.float32)
+        if target_matches is not None:
+            arrays["target_matches"] = np.asarray(target_matches, np.float32)
+        if correspondence_mask is not None:
+            arrays["correspondence_mask"] = np.asarray(
+                correspondence_mask, bool
+            )
+        if mask_prediction is not None:
+            arrays["mask_prediction"] = np.asarray(mask_prediction, np.float32)
+        if arrays:
+            np.savez_compressed(
+                self.run_dir / f"{frame_index:06d}_correspondences.npz",
+                **arrays,
+            )
+
+    def record_rendered_warped_mesh(self, frame_index: int, color, depth):
+        """Rendered warped-mesh color + depth images (reference
+        ``process_rendering_result``)."""
+        if not self.config.record_rendered_warped_mesh:
+            return
+        from PIL import Image
+
+        rgb = np.clip(np.asarray(color) * 255.0, 0, 255).astype(np.uint8)
+        Image.fromarray(rgb).save(
+            self.run_dir / f"{frame_index:06d}_rendered_color.png"
+        )
+        d16 = np.clip(np.asarray(depth) * 1000.0, 0, 65535).astype(np.uint16)
+        Image.fromarray(d16).save(
+            self.run_dir / f"{frame_index:06d}_rendered_depth.png"
+        )
+
     def record_frame(self, frame_index: int, **metrics):
         entry = {"frame": frame_index, **metrics}
         self.frame_metrics.append(entry)
