@@ -70,13 +70,21 @@ def build_scene(grid=8, rings=149, segments=236):
     return np.concatenate(verts_all), np.concatenate(faces_all)
 
 
-def run(faces_per_pixel=1, iters=10, tile_chunk=64, max_faces_per_bin=1024):
+def run(
+    faces_per_pixel=1,
+    iters=10,
+    tile_chunk=64,
+    max_faces_per_bin=1024,
+    method="splat",
+):
     import jax
     import jax.numpy as jnp
 
     from dynamicfuion_python_tpu.ops.rasterize import (
         extract_face_vertices,
+        project_face_soup,
         rasterize_binned,
+        rasterize_splat,
     )
 
     h, w = 480, 640
@@ -91,22 +99,63 @@ def run(faces_per_pixel=1, iters=10, tile_chunk=64, max_faces_per_bin=1024):
     )
     verts = jnp.asarray(verts_np)
     faces = jnp.asarray(faces_np)
+    f = faces_np.shape[0]
+    # tier caps calibrated to the headline scene (t2 ~96k, t4 ~0 at these
+    # face sizes) with >2x headroom; the bench asserts zero drops below
+    splat_kwargs = dict(
+        faces_per_pixel=faces_per_pixel,
+        quad_cap=max(4096, f // 16),
+        hex_cap=max(4096, f // 64),
+        return_overflow=True,
+    )
 
-    def full(verts):
-        fv, valid = extract_face_vertices(verts, faces, intr, (h, w))
-        return rasterize_binned(
-            fv,
-            valid,
-            (h, w),
-            faces_per_pixel=faces_per_pixel,
-            max_faces_per_bin=max_faces_per_bin,
-            tile_chunk=tile_chunk,
-        )
+    if method == "splat":
+        # TPU-native production path: the mesh lives as camera-space triangle
+        # SOUP (what marching-cubes extraction / the warp field emit), so the
+        # per-frame pipeline is elementwise projection + splat — no index
+        # gather. The soup expansion happens once at scene build.
+        soup = jnp.asarray(verts_np[faces_np])  # [F, 3, 3]
+
+        def full(soup):
+            fv, valid = project_face_soup(soup, intr)
+            return rasterize_splat(fv, valid, (h, w), **splat_kwargs)
+
+        arg = soup
+    elif method == "splat-indexed":
+
+        def full(verts):
+            fv, valid = extract_face_vertices(verts, faces, intr, (h, w))
+            return rasterize_splat(fv, valid, (h, w), **splat_kwargs)
+
+        arg = verts
+    else:
+
+        def full(verts):
+            fv, valid = extract_face_vertices(verts, faces, intr, (h, w))
+            return rasterize_binned(
+                fv,
+                valid,
+                (h, w),
+                faces_per_pixel=faces_per_pixel,
+                max_faces_per_bin=max_faces_per_bin,
+                tile_chunk=tile_chunk,
+            )
+
+        arg = verts
 
     jfull = jax.jit(full)
     t0 = time.perf_counter()
-    frag = jax.block_until_ready(jfull(verts))
+    out = jax.block_until_ready(jfull(arg))
     compile_s = time.perf_counter() - t0
+    if method.startswith("splat"):
+        frag, overflow = out
+        dropped = int(overflow["dropped_large_faces"]) + int(
+            overflow["dropped_bin_entries"]
+        )
+        if dropped:
+            print(f"WARNING: {dropped} dropped entries", file=sys.stderr)
+    else:
+        frag = out
     covered = int((frag.face_indices[..., 0] >= 0).sum())
     print(
         f"compile+first run {compile_s:.1f}s; covered pixels "
@@ -116,8 +165,8 @@ def run(faces_per_pixel=1, iters=10, tile_chunk=64, max_faces_per_bin=1024):
 
     t0 = time.perf_counter()
     for _ in range(iters):
-        frag = jfull(verts)
-    jax.block_until_ready(frag)
+        out = jfull(arg)
+    jax.block_until_ready(out)
     dt_ms = (time.perf_counter() - t0) / iters * 1e3
     return dt_ms, covered
 
@@ -128,9 +177,18 @@ def main():
     parser.add_argument("--iters", type=int, default=10)
     parser.add_argument("--tile-chunk", type=int, default=64)
     parser.add_argument("--max-faces-per-bin", type=int, default=1024)
+    parser.add_argument(
+        "--method",
+        choices=["splat", "splat-indexed", "binned"],
+        default="splat",
+    )
     args = parser.parse_args()
     dt_ms, covered = run(
-        args.faces_per_pixel, args.iters, args.tile_chunk, args.max_faces_per_bin
+        args.faces_per_pixel,
+        args.iters,
+        args.tile_chunk,
+        args.max_faces_per_bin,
+        args.method,
     )
     print(
         f"rasterize 4.45M tris @480x640: {dt_ms:.2f} ms/frame "

@@ -333,11 +333,12 @@ class HierarchicalGraphWarpField(WarpField):
             radii.append(float(radius))
             picked_local = _median_grid_subsample_np(positions[finer], 2.0 * radius)
             if len(picked_local) >= len(finer):
-                raise ValueError(
-                    f"layer {i_layer} would not shrink ({len(picked_local)} of "
-                    f"{len(finer)} nodes); reduce layer_count or increase "
-                    "node_coverage"
-                )
+                # the finer layer is already at (or below) this layer's target
+                # density — stop here with a shallower hierarchy instead of
+                # failing; small scenes (few nodes) legitimately saturate
+                # before reaching the configured layer_count
+                radii.pop()
+                break
             picked = finer[picked_local]
             keep_mask = np.ones(len(finer), bool)
             keep_mask[picked_local] = False
@@ -350,7 +351,7 @@ class HierarchicalGraphWarpField(WarpField):
 
         # fine->coarse KNN edges between consecutive layers (virtual indices)
         edge_list, edge_layers = [], []
-        for i_layer in range(layer_count - 1, 0, -1):
+        for i_layer in range(len(layer_members) - 1, 0, -1):
             coarser = layer_members[i_layer]
             finer = layer_members[i_layer - 1]
             if len(coarser) == 0 or len(finer) == 0:

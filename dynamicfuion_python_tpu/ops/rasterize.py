@@ -84,6 +84,36 @@ def extract_face_vertices(
     return jnp.stack(cols, axis=-1).reshape(f, 3, 3), valid
 
 
+def project_face_soup(
+    face_soup: jnp.ndarray,
+    intrinsics: jnp.ndarray,
+    near: float = 0.05,
+    far: float = 10.0,
+    valid: jnp.ndarray | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Camera-space triangle soup [F, 3, 3] -> pixel-space face vertices.
+
+    The gather-free sibling of :func:`extract_face_vertices` for the
+    TPU-native mesh layout: marching-cubes extraction and the warp field both
+    produce/consume triangle SOUP (vertices stored per-face), so the
+    per-frame projection is pure elementwise math — no [F, 3] index gather,
+    which costs ~90 ms at 4.5M faces on a v5e (random 12-byte-row gathers
+    use a few percent of the HBM lanes). Same clip semantics as
+    ``GetMeshNdcFaceVerticesAndClipMask``
+    (``cpp/rendering/functional/ExtractFaceVertices.h``).
+    """
+    fx, fy = intrinsics[0, 0], intrinsics[1, 1]
+    cx, cy = intrinsics[0, 2], intrinsics[1, 2]
+    x, y, z = face_soup[..., 0], face_soup[..., 1], face_soup[..., 2]
+    ok = jnp.all((z > near) & (z < far), axis=-1)
+    if valid is not None:
+        ok = ok & valid
+    safe_z = jnp.where(jnp.abs(z) > 1e-9, z, 1e-9)
+    u = x / safe_z * fx + cx
+    v = y / safe_z * fy + cy
+    return jnp.stack([u, v, z], axis=-1), ok
+
+
 def pixel_to_ndc(face_vertices_pix: jnp.ndarray, image_size) -> jnp.ndarray:
     """Pixel-space (u, v, z) faces -> PyTorch3D-style NDC (+x left, +y up,
     short side spans [-1, 1]) for reference-API parity."""
@@ -475,11 +505,14 @@ def rasterize_binned(
     face_all = jnp.concatenate([face_s, face_m, face_l])
     ok_all = jnp.concatenate([ok_s, ok_m, ok_l])
 
-    # sort pairs by tile; invalid pairs sort last
+    # sort pairs by tile; invalid pairs sort last. A 2-operand lax.sort
+    # carries the face payload through the sort network directly — the
+    # argsort-then-gather formulation costs 13x more at 17.8M pairs (two
+    # full-size random gathers, ~300 ms each on v5e)
     sort_key = jnp.where(ok_all, tile_all, num_tiles)
-    order = jnp.argsort(sort_key, stable=True)
-    sorted_tiles = sort_key[order]
-    sorted_faces = face_all[order]
+    sorted_tiles, sorted_faces = jax.lax.sort(
+        (sort_key, face_all), num_keys=1, is_stable=True
+    )
     # per-tile segment starts via binary search over the num_tiles tile ids
     # (cheap: num_tiles queries), then GATHER each tile's first
     # max_faces_per_bin entries — a [T, K] gather instead of a 2M-element
@@ -722,4 +755,384 @@ def _detile(arr, th, tw, tile_size, extra):
     perm = (0, 2, 1, 3) + tuple(range(4, 4 + len(extra)))
     return arr.transpose(*perm).reshape(
         th * tile_size, tw * tile_size, *extra
+    )
+
+
+# ---------------------------------------------------------------------------
+# splat rasterizer (sub-pixel-face fast path)
+# ---------------------------------------------------------------------------
+#
+# TPU-native K-nearest rasterization for meshes whose faces are at most a few
+# pixels across (the 4.45M-triangle headline scene averages ~0.25 px/face;
+# dense fusion meshes 1-3 px). Instead of binning faces to tiles and looping
+# pixels x bin entries, each face is evaluated DIRECTLY at the few pixel
+# centers inside its AABB (+blur margin) as flat [F]-shaped column math, and
+# the per-pixel K-nearest reduction becomes one 3-operand lexicographic
+# lax.sort by (pixel_id, depth_bits). This removes the bin table, the
+# [T, K, 3, 3] gather, and the pixels-x-bin-capacity compute of the tiled
+# path entirely; faces spanning more than 4 (+2*blur) pixels per axis route
+# through rasterize_binned on a compacted subset and the two fragment sets
+# merge by depth.
+#
+# Per-pixel selection is scatter- and search-free: one SENTINEL entry per
+# pixel (depth key INT32_MIN, face -1) rides the main sort and lands at the
+# head of its pixel's segment; recovering the sentinels' sorted positions is
+# a single 1-operand sort, and pixel p's K nearest fragments then sit at
+# positions sentinel_pos[p] + 1 .. + K. (A jnp.searchsorted over the sorted
+# pair array does the same job 8x slower — 307k binary searches are 7M
+# dependent gathers.)
+#
+# Same contract as rasterize_naive / rasterize_binned (the reference's
+# coarse-to-fine rasterizer, cpp/rendering/RasterizeNdcTriangles.cpp:32-129).
+
+
+def _eval_columns(
+    px,
+    py,
+    cols,
+    blur_radius: float,
+    perspective_correct: bool,
+    clip_barycentrics: bool,
+    cull_back_faces: bool,
+):
+    """Fragment math on flat columns: px/py f32[N] pixel centers, cols =
+    9-tuple (ax, ay, az, bx, by, bz, cx, cy, cz) of f32[N]. Returns
+    (hit bool[N], depth f32[N], bary f32[N, 3], signed_d2 f32[N])."""
+    ax, ay, az, bx, by, bz, cx, cy, cz = cols
+
+    area = _edge_fn(cx, cy, ax, ay, bx, by)
+    e0 = _edge_fn(px, py, bx, by, cx, cy)
+    e1 = _edge_fn(px, py, cx, cy, ax, ay)
+    e2 = _edge_fn(px, py, ax, ay, bx, by)
+    if cull_back_faces:
+        orientation_ok = area > 0
+    else:
+        orientation_ok = jnp.abs(area) > 1e-12
+    safe_area = jnp.where(jnp.abs(area) > 1e-12, area, 1e-12)
+    w0 = e0 / safe_area
+    w1 = e1 / safe_area
+    w2 = e2 / safe_area
+    inside = (w0 >= 0) & (w1 >= 0) & (w2 >= 0)
+
+    d2_edges = jnp.minimum(
+        jnp.minimum(
+            _point_segment_d2(px, py, ax, ay, bx, by),
+            _point_segment_d2(px, py, bx, by, cx, cy),
+        ),
+        _point_segment_d2(px, py, cx, cy, ax, ay),
+    )
+    signed_d2 = jnp.where(inside, -d2_edges, d2_edges)
+    hit = orientation_ok & (inside | (d2_edges <= blur_radius * blur_radius))
+
+    if perspective_correct:
+        pa = w0 / jnp.maximum(az, 1e-9)
+        pb = w1 / jnp.maximum(bz, 1e-9)
+        pc = w2 / jnp.maximum(cz, 1e-9)
+        denom = jnp.maximum(pa + pb + pc, 1e-12)
+        w0, w1, w2 = pa / denom, pb / denom, pc / denom
+    if clip_barycentrics:
+        c0 = jnp.clip(w0, 0.0, 1.0)
+        c1 = jnp.clip(w1, 0.0, 1.0)
+        c2 = jnp.clip(w2, 0.0, 1.0)
+        denom = jnp.maximum(c0 + c1 + c2, 1e-12)
+        w0, w1, w2 = c0 / denom, c1 / denom, c2 / denom
+    depth = w0 * az + w1 * bz + w2 * cz
+    hit = hit & (depth > 0)
+    return hit, depth, jnp.stack([w0, w1, w2], axis=-1), signed_d2
+
+
+def _compact_indices(mask: jnp.ndarray, cap: int):
+    """Indices of true entries (first ``cap``, ascending) via a 1-operand
+    sort — scatter-free. Returns (idx int32[cap] clipped to valid range,
+    has bool[cap], dropped int32)."""
+    n = mask.shape[0]
+    key = jnp.where(mask, jnp.arange(n, dtype=jnp.int32), jnp.int32(n))
+    sorted_key = jax.lax.sort(key)[:cap]
+    has = sorted_key < n
+    dropped = jnp.maximum(jnp.sum(mask) - cap, 0)
+    return jnp.where(has, sorted_key, 0), has, dropped
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "image_size",
+        "faces_per_pixel",
+        "blur_radius",
+        "perspective_correct",
+        "clip_barycentrics",
+        "cull_back_faces",
+        "quad_cap",
+        "hex_cap",
+        "max_large_faces",
+        "return_overflow",
+    ),
+)
+def rasterize_splat(
+    face_vertices: jnp.ndarray,
+    valid_faces: jnp.ndarray,
+    image_size: tuple[int, int],
+    faces_per_pixel: int = 1,
+    blur_radius: float = 0.0,
+    perspective_correct: bool = True,
+    clip_barycentrics: bool = False,
+    cull_back_faces: bool = False,
+    quad_cap: int | None = None,
+    hex_cap: int | None = None,
+    max_large_faces: int = 4096,
+    return_overflow: bool = False,
+):
+    """Splat-path rasterization (see module comment above).
+
+    ``quad_cap`` / ``hex_cap`` bound the compacted 2x2- and 4x4-candidate
+    tiers (defaults: F/4 and F/16, floored at 4096); ``max_large_faces``
+    bounds the faces routed through the binned fallback (0 disables the
+    fallback — faces wider than 4 (+2*blur) px are then dropped and counted
+    in the overflow report).
+    """
+    h, w = image_size
+    hw = h * w
+    f = face_vertices.shape[0]
+    k = faces_per_pixel
+    r = float(blur_radius)
+    if quad_cap is None:
+        quad_cap = min(f, max(4096, f // 4))
+    if hex_cap is None:
+        hex_cap = min(f, max(4096, f // 16))
+    quad_cap = min(quad_cap, f)
+    hex_cap = min(hex_cap, f)
+    max_large_faces = min(max_large_faces, f)
+
+    fv9 = face_vertices.reshape(f, 9)
+    cols_all = tuple(fv9[:, i] for i in range(9))
+    us = (cols_all[0], cols_all[3], cols_all[6])
+    vs = (cols_all[1], cols_all[4], cols_all[7])
+    u_min = jnp.minimum(jnp.minimum(us[0], us[1]), us[2])
+    u_max = jnp.maximum(jnp.maximum(us[0], us[1]), us[2])
+    v_min = jnp.minimum(jnp.minimum(vs[0], vs[1]), vs[2])
+    v_max = jnp.maximum(jnp.maximum(vs[0], vs[1]), vs[2])
+    on_screen = (
+        valid_faces
+        & (u_max >= -r)
+        & (u_min < w - 1 + r)
+        & (v_max >= -r)
+        & (v_min < h - 1 + r)
+    )
+    span_u = u_max - u_min + 2 * r
+    span_v = v_max - v_min + 2 * r
+    # candidate-pixel window origin: first integer center >= u_min - r
+    cu0 = jnp.ceil(u_min - r).astype(jnp.int32)
+    cv0 = jnp.ceil(v_min - r).astype(jnp.int32)
+
+    tier1 = on_screen & (span_u < 1) & (span_v < 1)
+    tier2 = on_screen & ~tier1 & (span_u < 2) & (span_v < 2)
+    tier4 = on_screen & ~tier1 & ~tier2 & (span_u < 4) & (span_v < 4)
+    large = on_screen & ~tier1 & ~tier2 & ~tier4
+
+    face_ids = jnp.arange(f, dtype=jnp.int32)
+
+    def emit(cols, ids, cu, cv, active, n_cand):
+        """Evaluate faces at an n_cand-wide window of pixel centers; returns
+        flat (pix int32, depth_bits int32, face int32) pair columns."""
+        # square candidate window: n_cand = s * s pixel centers
+        s = int(round(n_cand**0.5))
+        du = jnp.arange(n_cand, dtype=jnp.int32)
+        pu = cu[:, None] + (du % s)[None, :] if s > 1 else cu[:, None]
+        pv = cv[:, None] + (du // s)[None, :] if s > 1 else cv[:, None]
+        okp = (
+            active[:, None]
+            & (pu >= 0)
+            & (pu < w)
+            & (pv >= 0)
+            & (pv < h)
+        )
+        pxf = pu.astype(jnp.float32)
+        pyf = pv.astype(jnp.float32)
+        bcols = tuple(c[:, None] for c in cols)
+        hit, depth, _, _ = _eval_columns(
+            pxf,
+            pyf,
+            bcols,
+            blur_radius,
+            perspective_correct,
+            clip_barycentrics,
+            cull_back_faces,
+        )
+        ok = okp & hit
+        pix = jnp.where(ok, pv * w + pu, hw + 1)
+        dbits = jax.lax.bitcast_convert_type(
+            jnp.where(ok, jnp.maximum(depth, 0.0), 0.0), jnp.int32
+        )
+        fid = jnp.broadcast_to(ids[:, None], pix.shape)
+        return pix.reshape(-1), dbits.reshape(-1), fid.reshape(-1)
+
+    # tier 1: all faces, their single candidate center
+    p1, d1, f1 = emit(cols_all, face_ids, cu0, cv0, tier1, 1)
+
+    # tiers 2/4 + large: ONE compaction sort classifies all three at once
+    # (key = class * F + index; per-class segments come out contiguous and
+    # ascending), replacing three F-sized sorts with one
+    n2 = jnp.sum(tier2).astype(jnp.int32)
+    n4 = jnp.sum(tier4).astype(jnp.int32)
+    nl = jnp.sum(large).astype(jnp.int32)
+    cls_key = jnp.where(
+        tier2,
+        face_ids,
+        jnp.where(
+            tier4,
+            f + face_ids,
+            jnp.where(large, 2 * f + face_ids, jnp.int32(3 * f)),
+        ),
+    )
+    cls_sorted = jax.lax.sort(cls_key, is_stable=False)
+
+    def tier_slice(start, cap, base):
+        ent = jax.lax.dynamic_slice(cls_sorted, (start,), (cap,))
+        has = (ent >= base) & (ent < base + f)
+        return jnp.where(has, ent - base, 0), has
+
+    q_idx, q_has = tier_slice(jnp.int32(0), quad_cap, 0)
+    x_idx, x_has = tier_slice(n2, hex_cap, f)
+    q_drop = jnp.maximum(n2 - quad_cap, 0)
+    x_drop = jnp.maximum(n4 - hex_cap, 0)
+
+    # tier 2: row-gather the 9 face columns at once ([cap, 9] — one gather
+    # instead of nine F-sized scalar-column gathers), recompute the window
+    # origin from the gathered columns (elementwise, cheaper than gathering)
+    def gathered_cols(idx):
+        rows = fv9[idx]  # [cap, 9]
+        cols = tuple(rows[:, i] for i in range(9))
+        gu_min = jnp.minimum(jnp.minimum(cols[0], cols[3]), cols[6])
+        gv_min = jnp.minimum(jnp.minimum(cols[1], cols[4]), cols[7])
+        gcu = jnp.ceil(gu_min - r).astype(jnp.int32)
+        gcv = jnp.ceil(gv_min - r).astype(jnp.int32)
+        return cols, gcu, gcv
+
+    q_cols, q_cu, q_cv = gathered_cols(q_idx)
+    p2, d2_, f2 = emit(q_cols, q_idx, q_cu, q_cv, q_has, 4)
+
+    # tier 4: compacted faces, 4x4 window
+    x_cols, x_cu, x_cv = gathered_cols(x_idx)
+    p4, d4, f4 = emit(x_cols, x_idx, x_cu, x_cv, x_has, 16)
+
+    # one SENTINEL entry per pixel (plus a tail guard at pix == hw): depth
+    # key INT32_MIN puts it at the head of its pixel's segment in the main
+    # sort; pixel p's K nearest fragments then sit right after sentinel p,
+    # bounded by sentinel p+1 (see module comment — this replaces a
+    # searchsorted that costs 8x more)
+    sent_pix = jnp.arange(hw + 1, dtype=jnp.int32)
+    sent_dbits = jnp.full((hw + 1,), jnp.iinfo(jnp.int32).min, jnp.int32)
+    sent_face = jnp.full((hw + 1,), -1, jnp.int32)
+
+    pix_all = jnp.concatenate([p1, p2, p4, sent_pix])
+    dbits_all = jnp.concatenate([d1, d2_, d4, sent_dbits])
+    face_all = jnp.concatenate([f1, f2, f4, sent_face])
+
+    # num_keys=3: face id is a sort key too, so equal-depth ties resolve to
+    # the lowest face id exactly like the naive oracle, independent of
+    # emission order
+    sorted_pix, sorted_dbits, sorted_face = jax.lax.sort(
+        (pix_all, dbits_all, face_all), num_keys=3, is_stable=False
+    )
+    n_pairs = sorted_pix.shape[0]
+    # sentinel positions are ascending (one per pixel, segments in pixel
+    # order): recover them with one single-operand unstable sort
+    sent_pos = jax.lax.sort(
+        jnp.where(
+            sorted_face == -1,
+            jnp.arange(n_pairs, dtype=jnp.int32),
+            jnp.int32(n_pairs),
+        ),
+        is_stable=False,
+    )[: hw + 1]
+    take = sent_pos[:hw, None] + 1 + jnp.arange(k, dtype=jnp.int32)[None]
+    within = take < sent_pos[1:, None]
+    take_c = jnp.minimum(take, n_pairs - 1)
+    sel_face = jnp.where(within, sorted_face[take_c], -1)  # [HW, K]
+    sel_depth = jnp.where(
+        within,
+        jax.lax.bitcast_convert_type(sorted_dbits[take_c], jnp.float32),
+        BG_DEPTH,
+    )
+
+    # re-evaluate barycentrics / signed distance at the winners (cheaper than
+    # carrying 4 more payload operands through the multi-million-pair sort);
+    # row-gather [HW*K, 9] — one gather, not nine
+    win_rows = fv9[jnp.maximum(sel_face, 0).reshape(-1)]
+    win_cols = tuple(win_rows[:, i] for i in range(9))
+    pix_lin = jnp.arange(hw, dtype=jnp.int32)
+    win_px = jnp.repeat(pix_lin % w, k).astype(jnp.float32)
+    win_py = jnp.repeat(pix_lin // w, k).astype(jnp.float32)
+    _, _, win_bary, win_d2 = _eval_columns(
+        win_px,
+        win_py,
+        win_cols,
+        blur_radius,
+        perspective_correct,
+        clip_barycentrics,
+        cull_back_faces,
+    )
+    have = sel_face.reshape(-1) >= 0
+    bary = jnp.where(have[:, None], win_bary, 0.0).reshape(hw, k, 3)
+    dist = jnp.where(have, win_d2, 0.0).reshape(hw, k)
+
+    frag = Fragments(
+        face_indices=sel_face.reshape(h, w, k),
+        depths=sel_depth.reshape(h, w, k),
+        barycentrics=bary.reshape(h, w, k, 3),
+        distances=dist.reshape(h, w, k),
+    )
+
+    l_drop = jnp.int32(0)
+    if max_large_faces > 0:
+        l_idx, l_has = tier_slice(n2 + n4, max_large_faces, 2 * f)
+        l_drop = jnp.maximum(nl - max_large_faces, 0)
+        l_fv = face_vertices[l_idx]
+        lfrag = rasterize_binned(
+            l_fv,
+            l_has,
+            image_size,
+            faces_per_pixel=k,
+            blur_radius=blur_radius,
+            perspective_correct=perspective_correct,
+            clip_barycentrics=clip_barycentrics,
+            cull_back_faces=cull_back_faces,
+            max_faces_per_bin=min(256, max_large_faces),
+            # the fallback set is small; binned's own large-face tier (faces
+            # spanning many 16px tiles) needs only a modest cap
+            max_large_faces=min(512, max_large_faces),
+            use_pallas="never",
+        )
+        lfaces = jnp.where(
+            lfrag.face_indices >= 0,
+            l_idx[jnp.maximum(lfrag.face_indices, 0)],
+            -1,
+        )
+        frag = _merge_fragments(
+            frag, lfrag._replace(face_indices=lfaces), k
+        )
+    else:
+        l_drop = jnp.sum(large)
+
+    if not return_overflow:
+        return frag
+    return frag, {
+        "dropped_large_faces": l_drop,
+        "dropped_bin_entries": q_drop + x_drop,
+    }
+
+
+def _merge_fragments(a: Fragments, b: Fragments, k: int) -> Fragments:
+    """Merge two K-fragment buffers per pixel, keeping the K nearest."""
+    depths = jnp.concatenate([a.depths, b.depths], axis=-1)
+    faces = jnp.concatenate([a.face_indices, b.face_indices], axis=-1)
+    bary = jnp.concatenate([a.barycentrics, b.barycentrics], axis=-2)
+    dist = jnp.concatenate([a.distances, b.distances], axis=-1)
+    neg_top, idx = jax.lax.top_k(-depths, k)
+    gather = lambda arr: jnp.take_along_axis(arr, idx, axis=-1)
+    return Fragments(
+        face_indices=gather(faces),
+        depths=-neg_top,
+        barycentrics=jnp.take_along_axis(bary, idx[..., None], axis=-2),
+        distances=gather(dist),
     )

@@ -17,6 +17,7 @@ from dynamicfuion_python_tpu.ops.rasterize import (
     pixel_to_ndc,
     rasterize_binned,
     rasterize_naive,
+    rasterize_splat,
 )
 
 INTR = jnp.asarray(
@@ -216,6 +217,79 @@ class TestBinnedMatchesNaive:
         np.testing.assert_array_equal(
             np.asarray(nb.face_indices), np.asarray(blurred.face_indices)
         )
+
+
+class TestSplatMatchesNaive:
+    """The splat path (sub-pixel-face fast path, the TPU production
+    rasterizer) must reproduce the naive oracle — the same naive == optimized
+    contract the reference tests enforce (``cpp/tests/test_rasterize.cpp``)."""
+
+    @pytest.mark.parametrize("k", [1, 4])
+    @pytest.mark.parametrize("blur", [0.0, 2.0])
+    def test_random_soup(self, rng, k, blur):
+        verts, tris = _random_cloud_mesh(rng, n_faces=80)
+        fv, valid = extract_face_vertices(verts, tris, INTR, SIZE)
+        kwargs = dict(
+            faces_per_pixel=k, blur_radius=blur, perspective_correct=True
+        )
+        a = rasterize_naive(fv, valid, SIZE, **kwargs)
+        b = rasterize_splat(fv, valid, SIZE, **kwargs)
+        np.testing.assert_array_equal(
+            np.asarray(a.face_indices), np.asarray(b.face_indices)
+        )
+        np.testing.assert_allclose(
+            np.asarray(a.depths), np.asarray(b.depths), atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(a.barycentrics), np.asarray(b.barycentrics), atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(a.distances), np.asarray(b.distances), atol=1e-4
+        )
+
+    def test_large_faces_fall_back_to_binned(self, rng):
+        # a screen-filling quad exercises the binned-fallback merge
+        big_v, big_t = _quad_mesh(z=2.0, half=1.2)
+        small_v, small_t = _random_cloud_mesh(rng, n_faces=30, z0=0.8, z1=1.5)
+        verts = jnp.concatenate([big_v, small_v])
+        tris = jnp.concatenate([big_t, small_t + 4])
+        fv, valid = extract_face_vertices(verts, tris, INTR, SIZE)
+        a = rasterize_naive(fv, valid, SIZE, faces_per_pixel=2)
+        b, overflow = rasterize_splat(
+            fv, valid, SIZE, faces_per_pixel=2, return_overflow=True
+        )
+        assert int(overflow["dropped_large_faces"]) == 0
+        assert int(overflow["dropped_bin_entries"]) == 0
+        fa = np.asarray(a.face_indices)
+        fb = np.asarray(b.face_indices)
+        on_edge = (np.abs(np.asarray(a.distances)) < 1e-6) | (
+            np.abs(np.asarray(b.distances)) < 1e-6
+        )
+        ambiguous = on_edge.any(-1)
+        np.testing.assert_array_equal(fa[~ambiguous], fb[~ambiguous])
+        np.testing.assert_allclose(
+            np.asarray(a.depths)[~ambiguous],
+            np.asarray(b.depths)[~ambiguous],
+            atol=1e-4,
+        )
+
+    def test_tier_overflow_is_reported(self, rng):
+        verts, tris = _random_cloud_mesh(rng, n_faces=200)
+        fv, valid = extract_face_vertices(verts, tris, INTR, SIZE)
+        # fv spans several px per face at this scale; tiny caps must overflow
+        _, overflow = rasterize_splat(
+            fv,
+            valid,
+            SIZE,
+            quad_cap=4,
+            hex_cap=4,
+            max_large_faces=0,
+            return_overflow=True,
+        )
+        total = int(overflow["dropped_large_faces"]) + int(
+            overflow["dropped_bin_entries"]
+        )
+        assert total > 0
 
 
 class TestInterpolate:

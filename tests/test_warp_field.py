@@ -124,6 +124,21 @@ class TestHierarchicalGraphWarpField:
             field.layer_decimation_radii, [0.05, 0.10, 0.15], atol=1e-6
         )
 
+    def test_saturated_hierarchy_truncates_gracefully(self):
+        # a tiny node set cannot populate 4 layers; construction must stop at
+        # the deepest layer that still shrinks instead of failing (reference
+        # RebuildRegularizationLayers tolerates shallow hierarchies)
+        nodes = _grid_nodes(2, 2, spacing=0.5)
+        field = HierarchicalGraphWarpField.build(
+            nodes, node_coverage=0.05, layer_count=4, max_vertex_degree=4
+        )
+        counts = field.layer_node_counts
+        assert sum(counts) == 4
+        assert len(counts) <= 4
+        assert len(field.layer_decimation_radii) == len(counts)
+        vni = np.asarray(field.virtual_node_indices)
+        assert sorted(vni.tolist()) == list(range(4))
+
     def test_edges_connect_consecutive_layers(self):
         nodes = _grid_nodes(10, 10, spacing=0.05)
         field = HierarchicalGraphWarpField.build(
