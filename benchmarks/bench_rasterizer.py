@@ -76,6 +76,7 @@ def run(
     tile_chunk=64,
     max_faces_per_bin=1024,
     method="splat",
+    max_large_faces=512,
 ):
     import jax
     import jax.numpy as jnp
@@ -101,11 +102,13 @@ def run(
     faces = jnp.asarray(faces_np)
     f = faces_np.shape[0]
     # tier caps calibrated to the headline scene (t2 ~96k, t4 ~0 at these
-    # face sizes) with >2x headroom; the bench asserts zero drops below
+    # face sizes) with >1.4x headroom; the bench asserts zero drops below
     splat_kwargs = dict(
         faces_per_pixel=faces_per_pixel,
-        quad_cap=max(4096, f // 16),
-        hex_cap=max(4096, f // 64),
+        quad_cap=max(4096, f // 32),
+        hex_cap=max(4096, f // 512),
+        oct_cap=2048,
+        max_large_faces=max_large_faces,
         return_overflow=True,
     )
 
@@ -182,6 +185,7 @@ def main():
         choices=["splat", "splat-indexed", "binned"],
         default="splat",
     )
+    parser.add_argument("--max-large-faces", type=int, default=512)
     args = parser.parse_args()
     dt_ms, covered = run(
         args.faces_per_pixel,
@@ -189,6 +193,7 @@ def main():
         args.tile_chunk,
         args.max_faces_per_bin,
         args.method,
+        args.max_large_faces,
     )
     print(
         f"rasterize 4.45M tris @480x640: {dt_ms:.2f} ms/frame "

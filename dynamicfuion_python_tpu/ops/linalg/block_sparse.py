@@ -160,14 +160,16 @@ def matmul_block_sparse(
     a_ok = (a_coords[:, 0] >= 0) & (a_coords[:, 1] >= 0)
     b_ok = (b_coords[:, 0] >= 0) & (b_coords[:, 1] >= 0)
     pair_ok = inner_match & a_ok[:, None] & b_ok[None, :]
-    # output slot per pair: match (row_a, col_b) against out_coords by key
+    # output slot per pair: match (row_a, col_b) against out_coords by a
+    # packed int32 key (block grids here are graph-scale: < 2^15 block rows
+    # and columns, so row * 2^16 + col is collision-free)
     key_pair = (
-        a_coords[:, 0:1].astype(jnp.int64) * 2_000_003
-        + b_coords[None, :, 1].astype(jnp.int64)
+        a_coords[:, 0:1].astype(jnp.int32) * 65536
+        + b_coords[None, :, 1].astype(jnp.int32)
     )  # [Na, Nb]
     key_out = (
-        out_coords[:, 0].astype(jnp.int64) * 2_000_003
-        + out_coords[:, 1].astype(jnp.int64)
+        out_coords[:, 0].astype(jnp.int32) * 65536
+        + out_coords[:, 1].astype(jnp.int32)
     )  # [No]
     order = jnp.argsort(key_out)
     sorted_keys = key_out[order]

@@ -864,6 +864,7 @@ def _compact_indices(mask: jnp.ndarray, cap: int):
         "cull_back_faces",
         "quad_cap",
         "hex_cap",
+        "oct_cap",
         "max_large_faces",
         "return_overflow",
     ),
@@ -879,15 +880,18 @@ def rasterize_splat(
     cull_back_faces: bool = False,
     quad_cap: int | None = None,
     hex_cap: int | None = None,
-    max_large_faces: int = 4096,
+    oct_cap: int | None = None,
+    max_large_faces: int = 512,
     return_overflow: bool = False,
 ):
     """Splat-path rasterization (see module comment above).
 
-    ``quad_cap`` / ``hex_cap`` bound the compacted 2x2- and 4x4-candidate
-    tiers (defaults: F/4 and F/16, floored at 4096); ``max_large_faces``
-    bounds the faces routed through the binned fallback (0 disables the
-    fallback — faces wider than 4 (+2*blur) px are then dropped and counted
+    ``quad_cap`` / ``hex_cap`` / ``oct_cap`` bound the compacted 2x2-,
+    4x4- and 8x8-candidate tiers (defaults: F/4, F/16, F/64, floored at
+    4096/4096/2048); ``max_large_faces`` bounds the faces routed through the
+    brute-force fallback — a ``lax.cond``-guarded dense evaluation that the
+    common all-small-face frame skips entirely at runtime (0 disables the
+    fallback — faces wider than 8 (+2*blur) px are then dropped and counted
     in the overflow report).
     """
     h, w = image_size
@@ -899,8 +903,11 @@ def rasterize_splat(
         quad_cap = min(f, max(4096, f // 4))
     if hex_cap is None:
         hex_cap = min(f, max(4096, f // 16))
+    if oct_cap is None:
+        oct_cap = min(f, max(2048, f // 64))
     quad_cap = min(quad_cap, f)
     hex_cap = min(hex_cap, f)
+    oct_cap = min(oct_cap, f)
     max_large_faces = min(max_large_faces, f)
 
     fv9 = face_vertices.reshape(f, 9)
@@ -927,7 +934,10 @@ def rasterize_splat(
     tier1 = on_screen & (span_u < 1) & (span_v < 1)
     tier2 = on_screen & ~tier1 & (span_u < 2) & (span_v < 2)
     tier4 = on_screen & ~tier1 & ~tier2 & (span_u < 4) & (span_v < 4)
-    large = on_screen & ~tier1 & ~tier2 & ~tier4
+    tier8 = (
+        on_screen & ~tier1 & ~tier2 & ~tier4 & (span_u < 8) & (span_v < 8)
+    )
+    large = on_screen & ~tier1 & ~tier2 & ~tier4 & ~tier8
 
     face_ids = jnp.arange(f, dtype=jnp.int32)
 
@@ -969,11 +979,12 @@ def rasterize_splat(
     # tier 1: all faces, their single candidate center
     p1, d1, f1 = emit(cols_all, face_ids, cu0, cv0, tier1, 1)
 
-    # tiers 2/4 + large: ONE compaction sort classifies all three at once
+    # tiers 2/4/8 + large: ONE compaction sort classifies all four at once
     # (key = class * F + index; per-class segments come out contiguous and
-    # ascending), replacing three F-sized sorts with one
+    # ascending), replacing four F-sized sorts with one
     n2 = jnp.sum(tier2).astype(jnp.int32)
     n4 = jnp.sum(tier4).astype(jnp.int32)
+    n8 = jnp.sum(tier8).astype(jnp.int32)
     nl = jnp.sum(large).astype(jnp.int32)
     cls_key = jnp.where(
         tier2,
@@ -981,7 +992,11 @@ def rasterize_splat(
         jnp.where(
             tier4,
             f + face_ids,
-            jnp.where(large, 2 * f + face_ids, jnp.int32(3 * f)),
+            jnp.where(
+                tier8,
+                2 * f + face_ids,
+                jnp.where(large, 3 * f + face_ids, jnp.int32(4 * f)),
+            ),
         ),
     )
     cls_sorted = jax.lax.sort(cls_key, is_stable=False)
@@ -993,8 +1008,10 @@ def rasterize_splat(
 
     q_idx, q_has = tier_slice(jnp.int32(0), quad_cap, 0)
     x_idx, x_has = tier_slice(n2, hex_cap, f)
+    o_idx, o_has = tier_slice(n2 + n4, oct_cap, 2 * f)
     q_drop = jnp.maximum(n2 - quad_cap, 0)
     x_drop = jnp.maximum(n4 - hex_cap, 0)
+    o_drop = jnp.maximum(n8 - oct_cap, 0)
 
     # tier 2: row-gather the 9 face columns at once ([cap, 9] — one gather
     # instead of nine F-sized scalar-column gathers), recompute the window
@@ -1015,6 +1032,10 @@ def rasterize_splat(
     x_cols, x_cu, x_cv = gathered_cols(x_idx)
     p4, d4, f4 = emit(x_cols, x_idx, x_cu, x_cv, x_has, 16)
 
+    # tier 8: compacted faces, 8x8 window
+    o_cols, o_cu, o_cv = gathered_cols(o_idx)
+    p8, d8, f8 = emit(o_cols, o_idx, o_cu, o_cv, o_has, 64)
+
     # one SENTINEL entry per pixel (plus a tail guard at pix == hw): depth
     # key INT32_MIN puts it at the head of its pixel's segment in the main
     # sort; pixel p's K nearest fragments then sit right after sentinel p,
@@ -1024,9 +1045,9 @@ def rasterize_splat(
     sent_dbits = jnp.full((hw + 1,), jnp.iinfo(jnp.int32).min, jnp.int32)
     sent_face = jnp.full((hw + 1,), -1, jnp.int32)
 
-    pix_all = jnp.concatenate([p1, p2, p4, sent_pix])
-    dbits_all = jnp.concatenate([d1, d2_, d4, sent_dbits])
-    face_all = jnp.concatenate([f1, f2, f4, sent_face])
+    pix_all = jnp.concatenate([p1, p2, p4, p8, sent_pix])
+    dbits_all = jnp.concatenate([d1, d2_, d4, d8, sent_dbits])
+    face_all = jnp.concatenate([f1, f2, f4, f8, sent_face])
 
     # num_keys=3: face id is a sort key too, so equal-depth ties resolve to
     # the lowest face id exactly like the naive oracle, independent of
@@ -1048,22 +1069,20 @@ def rasterize_splat(
     take = sent_pos[:hw, None] + 1 + jnp.arange(k, dtype=jnp.int32)[None]
     within = take < sent_pos[1:, None]
     take_c = jnp.minimum(take, n_pairs - 1)
+    # gather ONLY the face id (TPU gathers are latency-bound per row — each
+    # avoided gather column saves ~25 ns x HW*K); depth comes for free from
+    # the winner re-evaluation below, bit-identical to the sort key
     sel_face = jnp.where(within, sorted_face[take_c], -1)  # [HW, K]
-    sel_depth = jnp.where(
-        within,
-        jax.lax.bitcast_convert_type(sorted_dbits[take_c], jnp.float32),
-        BG_DEPTH,
-    )
 
-    # re-evaluate barycentrics / signed distance at the winners (cheaper than
-    # carrying 4 more payload operands through the multi-million-pair sort);
-    # row-gather [HW*K, 9] — one gather, not nine
+    # re-evaluate depth / barycentrics / signed distance at the winners
+    # (cheaper than carrying 4 more payload operands through the
+    # multi-million-pair sort); row-gather [HW*K, 9] — one gather, not nine
     win_rows = fv9[jnp.maximum(sel_face, 0).reshape(-1)]
     win_cols = tuple(win_rows[:, i] for i in range(9))
     pix_lin = jnp.arange(hw, dtype=jnp.int32)
     win_px = jnp.repeat(pix_lin % w, k).astype(jnp.float32)
     win_py = jnp.repeat(pix_lin // w, k).astype(jnp.float32)
-    _, _, win_bary, win_d2 = _eval_columns(
+    _, win_depth, win_bary, win_d2 = _eval_columns(
         win_px,
         win_py,
         win_cols,
@@ -1073,6 +1092,9 @@ def rasterize_splat(
         cull_back_faces,
     )
     have = sel_face.reshape(-1) >= 0
+    sel_depth = jnp.where(
+        have, jnp.maximum(win_depth, 0.0), BG_DEPTH
+    ).reshape(hw, k)
     bary = jnp.where(have[:, None], win_bary, 0.0).reshape(hw, k, 3)
     dist = jnp.where(have, win_d2, 0.0).reshape(hw, k)
 
@@ -1085,32 +1107,38 @@ def rasterize_splat(
 
     l_drop = jnp.int32(0)
     if max_large_faces > 0:
-        l_idx, l_has = tier_slice(n2 + n4, max_large_faces, 2 * f)
+        l_idx, l_has = tier_slice(n2 + n4 + n8, max_large_faces, 3 * f)
         l_drop = jnp.maximum(nl - max_large_faces, 0)
-        l_fv = face_vertices[l_idx]
-        lfrag = rasterize_binned(
-            l_fv,
-            l_has,
-            image_size,
-            faces_per_pixel=k,
-            blur_radius=blur_radius,
-            perspective_correct=perspective_correct,
-            clip_barycentrics=clip_barycentrics,
-            cull_back_faces=cull_back_faces,
-            max_faces_per_bin=min(256, max_large_faces),
-            # the fallback set is small; binned's own large-face tier (faces
-            # spanning many 16px tiles) needs only a modest cap
-            max_large_faces=min(512, max_large_faces),
-            use_pallas="never",
-        )
-        lfaces = jnp.where(
-            lfrag.face_indices >= 0,
-            l_idx[jnp.maximum(lfrag.face_indices, 0)],
-            -1,
-        )
-        frag = _merge_fragments(
-            frag, lfrag._replace(face_indices=lfaces), k
-        )
+
+        def _with_large(frag_in):
+            # brute-force the compacted large-face subset against every pixel
+            # and merge by depth; for >= 8 px faces the per-face pixel count
+            # is large enough that the dense [rows, L] evaluation is the
+            # right shape for the VPU (the reference handles these with
+            # tile-chunked bin looping, RasterizeNdcTriangles.cpp:96-129)
+            l_fv = face_vertices[l_idx]
+            lfrag = rasterize_naive(
+                l_fv,
+                l_has,
+                image_size,
+                faces_per_pixel=k,
+                blur_radius=blur_radius,
+                perspective_correct=perspective_correct,
+                clip_barycentrics=clip_barycentrics,
+                cull_back_faces=cull_back_faces,
+            )
+            lfaces = jnp.where(
+                lfrag.face_indices >= 0,
+                l_idx[jnp.maximum(lfrag.face_indices, 0)],
+                -1,
+            )
+            return _merge_fragments(
+                frag_in, lfrag._replace(face_indices=lfaces), k
+            )
+
+        # the branch is skipped at RUNTIME when no large face exists — the
+        # common sub-pixel-mesh frame pays nothing for the capability
+        frag = jax.lax.cond(nl > 0, _with_large, lambda fr: fr, frag)
     else:
         l_drop = jnp.sum(large)
 
@@ -1118,7 +1146,7 @@ def rasterize_splat(
         return frag
     return frag, {
         "dropped_large_faces": l_drop,
-        "dropped_bin_entries": q_drop + x_drop,
+        "dropped_bin_entries": q_drop + x_drop + o_drop,
     }
 
 

@@ -64,3 +64,64 @@ class TestDistributedFit:
         out = jax.jit(fn)(*args)
         jax.block_until_ready(out)
         assert np.isfinite(float(out[1]))
+
+
+class TestMultiHost:
+    def test_two_process_global_step_matches_single(self, tmp_path):
+        """Two OS processes (2 virtual CPU devices each) form one global
+        4-device mesh; per-host row-slab ingestion + the global sharded GN
+        step must reproduce the single-process oracle (the multi-host
+        contract of parallel/distributed.py)."""
+        import socket
+        import subprocess
+        import sys as _sys
+        from pathlib import Path
+
+        from __graft_entry__ import _tiny_problem
+        from dynamicfuion_python_tpu.models.fitter import (
+            FitterConfig,
+            IterationMode,
+            _gauss_newton_step,
+            _max_wing_degree,
+            precompute_face_associations,
+        )
+        from dynamicfuion_python_tpu.ops.normals import mesh_vertex_normals
+
+        field, verts, tris, ref_pts, ref_mask, intr = _tiny_problem(
+            image_size=(64, 32)
+        )
+        config = FitterConfig(max_iterations=1, use_regularization=True)
+        pre = precompute_face_associations(field, verts, tris)
+        normals = mesh_vertex_normals(verts, tris)
+        single, d_single, _ = _gauss_newton_step(
+            field, verts, tris, normals, pre, ref_pts, ref_mask, intr,
+            config, IterationMode.ALL, _max_wing_degree(field),
+        )
+
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+        coordinator = f"127.0.0.1:{port}"
+        worker = Path(__file__).parent / "_distributed_worker.py"
+        out_npz = tmp_path / "proc0.npz"
+        procs = [
+            subprocess.Popen(
+                [_sys.executable, str(worker), coordinator, str(pid), str(out_npz)],
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+            )
+            for pid in range(2)
+        ]
+        outs = [p.communicate(timeout=600)[0] for p in procs]
+        for p, out in zip(procs, outs):
+            assert p.returncode == 0, out.decode(errors="replace")[-4000:]
+
+        got = np.load(out_npz)
+        np.testing.assert_allclose(
+            got["node_translations"],
+            np.asarray(single.node_translations),
+            atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            float(got["data_loss"]), float(d_single), rtol=1e-4
+        )
