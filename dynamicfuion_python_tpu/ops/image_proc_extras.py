@@ -72,6 +72,26 @@ def compute_boundary_mask(
     return jnp.stack(diffs).max(0) > max_distance_mm
 
 
+def compute_boundary_mask_points(
+    point_image: jnp.ndarray, max_distance: float = 0.1
+) -> jnp.ndarray:
+    """Boundary mask over a 3D point image [H, W, 3] (reference
+    ``image_processing.compute_boundary_mask``, image_processing:347-380):
+    True where the Euclidean distance between a pixel's left & right
+    neighbor POINTS, or its above & below neighbor points, exceeds
+    ``max_distance`` meters — i.e. the surface jumps across the pixel."""
+    p = point_image.astype(jnp.float32)
+    h, w = p.shape[:2]
+    pad = jnp.pad(p, ((1, 1), (1, 1), (0, 0)))
+    left = pad[1 : h + 1, 0:w]
+    right = pad[1 : h + 1, 2 : w + 2]
+    up = pad[0:h, 1 : w + 1]
+    down = pad[2 : h + 2, 1 : w + 1]
+    d_lr = jnp.linalg.norm(right - left, axis=-1)
+    d_ud = jnp.linalg.norm(down - up, axis=-1)
+    return (d_lr > max_distance) | (d_ud > max_distance)
+
+
 def compute_augmented_flow_from_rotation(
     flow_rot_sa2so: jnp.ndarray,
     flow_so2to: jnp.ndarray,

@@ -47,13 +47,20 @@ class TestFusionPipeline:
         assert result.summary["frame_count"] == 3
         # a surface was reconstructed
         assert len(result.canonical_mesh) > 500
-        # the warp field tracked the bend: losses decreased within frames
+        # the warp field tracked the bend: each frame's GN fit strictly
+        # reduces the data term (VERDICT gate: no divergence tolerated)
         for frame in result.summary["frames"][1:]:
-            assert frame["data_loss"][-1] <= frame["data_loss"][0] * 1.5
+            assert frame["data_loss"][-1] < frame["data_loss"][0]
             assert frame["active_blocks"] > 0
-        # canonical mesh stays near the frame-0 surface (z ~ 1.0 plane-ish)
-        z = result.canonical_mesh[..., 2]
-        assert 0.9 < float(np.median(z)) < 1.15
+        # quantitative reconstruction gate: the canonical mesh must lie on
+        # the analytic frame-0 surface (gt_surface_z == 1.0 exactly) within
+        # one voxel (0.01 m) median error
+        verts = result.canonical_mesh.reshape(-1, 3)
+        inside = (np.abs(verts[:, 0]) < 0.25) & (np.abs(verts[:, 1]) < 0.25)
+        gt_z = seq.gt_surface_z(verts[inside, 0], verts[inside, 1], 0)
+        z_err = np.abs(verts[inside, 2] - gt_z)
+        assert inside.sum() > 200
+        assert float(np.median(z_err)) < 0.01
         # warp field translations are finite and bounded
         t = np.asarray(result.warp_field.node_translations)
         assert np.isfinite(t).all() and np.abs(t).max() < 0.2

@@ -56,6 +56,126 @@ class TestDeformDataset:
         np.testing.assert_array_equal(load_flow_middlebury(tmp_path / "f.flo"), flo)
 
 
+class TestLabeledDeformDataset:
+    """The reference's primary training path: labels JSON + precomputed
+    graph blobs (reference ``data/deform_dataset.py:18-300``)."""
+
+    def _build(self, tmp_path, rng, h=64, w=96, crop=(32, 64), n=6):
+        import json
+
+        from PIL import Image
+
+        from dynamicfuion_python_tpu.data import io as blob_io
+
+        base = tmp_path / "ds"
+        (base / "seq").mkdir(parents=True)
+        sd = base / "seq"
+        depth = np.full((h, w), 1000, np.uint16)
+        depth[: h // 2] = 1500  # depth step -> boundary row
+        color = rng.integers(0, 255, size=(h, w, 3)).astype(np.uint8)
+        for name in ("src", "tgt"):
+            Image.fromarray(color).save(sd / f"{name}.jpg")
+            Image.fromarray(depth).save(sd / f"{name}.png")
+        flow = rng.normal(size=(2, h, w)).astype(np.float32)
+        flow[:, 0, 0] = np.nan  # one invalid pixel
+        blob_io.save_flow_binary(sd / "p.oflow", flow)
+        sflow = rng.normal(size=(3, h, w)).astype(np.float32)
+        blob_io.save_flow_binary(sd / "p.sflow", sflow)
+        nodes = rng.normal(size=(n, 3)).astype(np.float32)
+        blob_io.save_graph_nodes(sd / "p_nodes.bin", nodes)
+        edges = rng.integers(-1, n, size=(n, 4)).astype(np.int32)
+        blob_io.save_graph_edges(sd / "p_edges.bin", edges)
+        ew = rng.random(size=(n, 4)).astype(np.float32)
+        blob_io.save_graph_edges_weights(sd / "p_ew.bin", ew)
+        clusters = np.zeros((n, 1), np.int32)
+        blob_io.save_graph_clusters(sd / "p_clusters.bin", clusters)
+        deforms = rng.normal(size=(n, 3)).astype(np.float32)
+        blob_io.save_graph_node_deformations(sd / "p_deforms.bin", deforms)
+        anchors = rng.integers(-1, n, size=(h, w, 4)).astype(np.int32)
+        blob_io.save_int_image(sd / "p_anchors.bin", anchors)
+        weights = rng.random(size=(h, w, 4)).astype(np.float32)
+        blob_io.save_float_image(sd / "p_weights.bin", weights)
+        labels = [
+            {
+                "source_color": "seq/src.jpg",
+                "source_depth": "seq/src.png",
+                "target_color": "seq/tgt.jpg",
+                "target_depth": "seq/tgt.png",
+                "optical_flow": "seq/p.oflow",
+                "scene_flow": "seq/p.sflow",
+                "graph_nodes": "seq/p_nodes.bin",
+                "graph_edges": "seq/p_edges.bin",
+                "graph_edges_weights": "seq/p_ew.bin",
+                "graph_clusters": "seq/p_clusters.bin",
+                "graph_node_deformations": "seq/p_deforms.bin",
+                "pixel_anchors": "seq/p_anchors.bin",
+                "pixel_weights": "seq/p_weights.bin",
+                "intrinsics": {"fx": 100.0, "fy": 100.0, "cx": w / 2, "cy": h / 2},
+            }
+        ]
+        (base / "train.json").write_text(json.dumps(labels))
+        return base, dict(
+            nodes=nodes, edges=edges, deforms=deforms, anchors=anchors,
+            flow=flow, depth=depth, crop=crop, h=h, w=w, n=n,
+        )
+
+    def test_loads_precomputed_blobs_with_center_crop(self, tmp_path, rng):
+        from dynamicfuion_python_tpu.data.deform_dataset import (
+            LabeledDeformDataset,
+        )
+
+        base, ref = self._build(tmp_path, rng)
+        th, tw = ref["crop"]
+        h, w, n = ref["h"], ref["w"], ref["n"]
+        ds = LabeledDeformDataset(
+            base, "train", input_size=(th, tw), max_nodes=8, max_neighbors=4
+        )
+        assert len(ds) == 1
+        s = ds[0]
+        assert s.source.shape == (th, tw, 6)
+        assert s.num_nodes == n
+        np.testing.assert_array_equal(s.graph_nodes[:n], ref["nodes"])
+        np.testing.assert_array_equal(s.graph_edges[:n], ref["edges"])
+        np.testing.assert_array_equal(s.node_deformations[:n], ref["deforms"])
+        # padded rows carry the -1 sentinel
+        assert (s.graph_edges[n:] == -1).all()
+        # pixel tensors are the center crop of the full-resolution blobs
+        y0, x0 = (h - th) // 2, (w - tw) // 2
+        np.testing.assert_array_equal(
+            s.pixel_anchors, ref["anchors"][y0 : y0 + th, x0 : x0 + tw]
+        )
+        np.testing.assert_array_equal(
+            s.flow_gt[..., 0],
+            np.nan_to_num(ref["flow"][0, y0 : y0 + th, x0 : x0 + tw]),
+        )
+        # intrinsics principal point shifted by the crop origin
+        np.testing.assert_allclose(s.intrinsics[0, 2], w / 2 - x0)
+        np.testing.assert_allclose(s.intrinsics[1, 2], h / 2 - y0)
+        # the depth step at row h//2 lands inside the crop -> boundary fires
+        assert s.target_boundary_mask.shape == (th, tw)
+        assert s.target_boundary_mask.any()
+        # batch collation includes the labeled-only tensors
+        b = ds.batch([0])
+        assert b["target_boundary_mask"].shape == (1, th, tw)
+        assert b["node_deformations"].shape[0] == 1
+
+    def test_reads_reference_graph_blobs(self):
+        """Format parity pin: the real blobs shipped with the reference
+        load with our byte-layout readers."""
+        from dynamicfuion_python_tpu.data import io as blob_io
+
+        seq = EXAMPLE_DATA / "test" / "seq017"
+        node_file = next((seq / "graph_nodes").iterdir())
+        nodes = blob_io.load_graph_nodes(node_file)
+        assert nodes.ndim == 2 and nodes.shape[1] == 3 and len(nodes) > 4
+        assert np.isfinite(nodes).all()
+        edges = blob_io.load_graph_edges(
+            next((seq / "graph_edges").iterdir())
+        )
+        assert edges.shape[0] == len(nodes)
+        assert edges.max() < len(nodes)
+
+
 class TestTrainStep:
     def test_two_iterations_decrease_loss(self, tmp_path):
         from dynamicfuion_python_tpu.apps.train import train
