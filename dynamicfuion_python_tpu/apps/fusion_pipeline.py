@@ -82,6 +82,12 @@ class FusionPipeline:
         self.warp_field: HierarchicalGraphWarpField | None = None
         self.canonical_vertices: jnp.ndarray | None = None
         self.canonical_triangles: jnp.ndarray | None = None
+        # sticky static capacities for the canonical-mesh arrays: grow-only
+        # power-of-two buckets, so the (expensive) fit/extraction programs
+        # recompile only when the surface roughly doubles
+        self._mesh_t_cap = 4096
+        self._mesh_v_cap = 4096
+        self._canonical_soup_np: np.ndarray | None = None
         # cumulative camera pose: maps canonical(frame-0) camera space ->
         # current camera space; updated by rigid odometry each frame
         self.extrinsics = jnp.eye(4)
@@ -232,36 +238,59 @@ class FusionPipeline:
         return min(float(self.frames_processed), threshold)
 
     def _refresh_canonical_mesh(self):
-        """Extract the WELDED canonical mesh and size the fitter's static
-        arrays to the actual surface (VERDICT weak #5: the old path fed the
-        full ``max_triangles*3`` padded soup into the per-fit anchor KNN).
+        """Extract the WELDED canonical mesh into the fitter's static
+        device arrays (VERDICT weak #5: the old path fed the full
+        ``max_triangles*3`` padded soup into the per-fit anchor KNN).
 
-        Capacities are bucketed to powers of two so shapes only change (and
-        the fit program only recompiles) when the surface roughly doubles.
+        The whole extract+weld+pad runs as ONE jitted program and the
+        results stay on device — the previous numpy round trip cost
+        ~800 ms/frame over the remote-TPU tunnel. Only two int32 counts
+        cross to the host (to drive capacity growth). Capacities are
+        sticky grow-only power-of-two buckets so the fit/extraction
+        programs recompile only when the surface roughly doubles.
         """
-        verts, faces, v_count, t_count = self.volume.extract_triangle_mesh(
-            max_triangles=self.params.fusion.extraction_max_triangles,
-            weight_threshold=self._extraction_weight_threshold(),
+        from dynamicfuion_python_tpu.models.voxel_block_grid import (
+            extract_mesh_fitter_arrays,
         )
-        v_count = int(v_count)
-        t_count = int(t_count)
-        v_cap = _capacity_bucket(v_count + 1)  # +1: reserve a padding slot
-        t_cap = _capacity_bucket(t_count)
-        verts_np = np.zeros((v_cap, 3), np.float32)
-        take_v = min(v_count, v_cap - 1)
-        verts_np[:take_v] = np.asarray(verts[:take_v])
-        faces_np = np.asarray(faces[:t_cap]).astype(np.int32)
-        # padding faces reference the reserved origin vertex (z=0), which the
-        # rasterizer's near-plane test culls; also clamp any index past the
-        # vertex capacity
-        faces_np[min(t_count, t_cap):] = v_cap - 1
-        faces_np = np.clip(faces_np, 0, v_cap - 1)
-        self.canonical_vertices = jnp.asarray(verts_np)
-        self.canonical_triangles = jnp.asarray(faces_np)
-        self.canonical_triangle_count = min(t_count, t_cap)
-        self.canonical_mesh_soup = verts_np[
-            faces_np[: self.canonical_triangle_count]
-        ]
+
+        t_max = _capacity_bucket(
+            self.params.fusion.extraction_max_triangles
+        )
+        thr = self._extraction_weight_threshold()
+        while True:
+            verts, faces, v_count, t_count = extract_mesh_fitter_arrays(
+                self.volume, self._mesh_v_cap, self._mesh_t_cap, thr
+            )
+            v_count = int(v_count)
+            t_count = int(t_count)
+            grew = False
+            if t_count >= self._mesh_t_cap and self._mesh_t_cap < t_max:
+                self._mesh_t_cap = min(self._mesh_t_cap * 2, t_max)
+                grew = True
+            if v_count + 1 >= self._mesh_v_cap and self._mesh_v_cap < (
+                t_max * 3 // 2
+            ):
+                self._mesh_v_cap *= 2
+                grew = True
+            if not grew:
+                break
+        self.canonical_vertices = verts
+        self.canonical_triangles = faces
+        self.canonical_triangle_count = t_count
+        self._canonical_soup_np = None  # lazy; see canonical_mesh_soup
+
+    @property
+    def canonical_mesh_soup(self) -> np.ndarray:
+        """Host-side [T, 3, 3] triangle soup of the canonical mesh
+        (telemetry / result export only — fetched lazily so the hot frame
+        loop never pays the device->host transfer)."""
+        if self._canonical_soup_np is None:
+            verts = np.asarray(self.canonical_vertices)
+            faces = np.asarray(
+                self.canonical_triangles[: self.canonical_triangle_count]
+            )
+            self._canonical_soup_np = verts[faces]
+        return self._canonical_soup_np
 
     # -- neural tracking prior / tracking-span machinery ----------------------
 
@@ -512,13 +541,13 @@ class FusionPipeline:
         # RIGID stage: frame-to-frame point-to-plane ICP accumulates the
         # camera pose; observations are expressed in the canonical camera
         # frame before the non-rigid fit.
-        rigid_rmse = 0.0
+        rigid_rmse = jnp.float32(0.0)  # stays on device; fetched once at return
         if p.alignment.use_rigid_alignment and self.previous_depth is not None:
             from dynamicfuion_python_tpu.ops.rigid_odometry import (
                 rigid_odometry_multi_scale,
             )
 
-            delta, rmse = rigid_odometry_multi_scale(
+            delta, rigid_rmse = rigid_odometry_multi_scale(
                 self.previous_depth,
                 depth_j,
                 self.intrinsics,
@@ -526,7 +555,6 @@ class FusionPipeline:
                 depth_max=p.fusion.far_clip_distance,
             )
             self.extrinsics = delta @ self.extrinsics
-            rigid_rmse = float(rmse)
         self.previous_depth = depth_j
 
         points, mask = unproject_depth_image(
@@ -646,11 +674,21 @@ class FusionPipeline:
                 self.telemetry.record_rendered_warped_mesh(
                     frame_idx, color_r, depth_r
                 )
+        # ONE device->host transfer for every scalar metric of the frame
+        # (each separate float()/int() costs a tunnel round trip)
+        fetched = jax.device_get(
+            (
+                diagnostics["data_loss"],
+                diagnostics["arap_loss"],
+                jnp.sum(intersecting),
+                rigid_rmse,
+            )
+        )
         return {
-            "data_loss": [float(x) for x in diagnostics["data_loss"]],
-            "arap_loss": [float(x) for x in diagnostics["arap_loss"]],
-            "active_blocks": int(jnp.sum(intersecting)),
-            "rigid_rmse": rigid_rmse,
+            "data_loss": [float(x) for x in fetched[0]],
+            "arap_loss": [float(x) for x in fetched[1]],
+            "active_blocks": int(fetched[2]),
+            "rigid_rmse": float(fetched[3]),
             **prior_metrics,
         }
 

@@ -567,33 +567,53 @@ def _fit_program(
     canonical_normals = mesh_vertex_normals(
         canonical_vertices, canonical_triangles
     )
+    # group consecutive same-mode iterations and lax.scan each run: the GN
+    # step body (AD Jacobians + arrowhead solve) is compiled ONCE per mode
+    # instead of once per iteration — with the default all-ALL schedule the
+    # whole loop is one scan, cutting the executable ~max_iterations-fold
+    # and the (tunnel-bound) compile time with it
+    runs: list[tuple[IterationMode, int]] = []
+    for iteration in range(config.max_iterations):
+        mode = config.mode_for_iteration(iteration)
+        if runs and runs[-1][0] == mode:
+            runs[-1] = (mode, runs[-1][1] + 1)
+        else:
+            runs.append((mode, 1))
+
     data_losses = []
     arap_losses = []
     translations_per_iteration = []
-    # iteration modes are static per iteration -> unrolled Python loop
-    for iteration in range(config.max_iterations):
-        mode = config.mode_for_iteration(iteration)
-        field, data_loss, arap_loss = _gauss_newton_step_impl(
-            field,
-            canonical_vertices,
-            canonical_triangles,
-            canonical_normals,
-            pre,
-            reference_points,
-            reference_mask,
-            intrinsics,
-            config,
-            mode,
-            max_deg,
-        )
-        data_losses.append(data_loss)
-        arap_losses.append(arap_loss)
-        translations_per_iteration.append(field.node_translations)
+    for mode, count in runs:
+
+        def body(carry, _, _mode=mode):
+            new_field, data_loss, arap_loss = _gauss_newton_step_impl(
+                carry,
+                canonical_vertices,
+                canonical_triangles,
+                canonical_normals,
+                pre,
+                reference_points,
+                reference_mask,
+                intrinsics,
+                config,
+                _mode,
+                max_deg,
+            )
+            return new_field, (
+                data_loss,
+                arap_loss,
+                new_field.node_translations,
+            )
+
+        field, (dl, al, tr) = jax.lax.scan(body, field, None, length=count)
+        data_losses.append(dl)
+        arap_losses.append(al)
+        translations_per_iteration.append(tr)
     return (
         field,
-        jnp.stack(data_losses),
-        jnp.stack(arap_losses),
-        jnp.stack(translations_per_iteration),
+        jnp.concatenate(data_losses),
+        jnp.concatenate(arap_losses),
+        jnp.concatenate(translations_per_iteration),
     )
 
 

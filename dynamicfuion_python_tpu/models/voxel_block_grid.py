@@ -467,10 +467,12 @@ class VoxelBlockGrid:
         r = self.block_resolution
         cap = self.capacity
         coords = self.block_coordinates()
-        thr = max(float(weight_threshold), 0.0)
+        # traceable under jit: the threshold may be a traced scalar (the
+        # fused extraction program passes the per-frame ramp value in)
+        thr = jnp.maximum(jnp.asarray(weight_threshold, jnp.float32), 0.0)
 
         def weight_ok(wgt):
-            return wgt >= thr if thr > 0 else wgt > 0
+            return jnp.where(thr > 0, wgt >= thr, wgt > 0)
 
         tsdf_p = jnp.zeros((cap, r + 1, r + 1, r + 1), jnp.float32)
         valid_p = jnp.zeros((cap, r + 1, r + 1, r + 1), bool)
@@ -753,3 +755,41 @@ class VoxelBlockGrid:
         t = self.tsdf[slots, local[:, 0], local[:, 1], local[:, 2]]
         w = self.weight[slots, local[:, 0], local[:, 1], local[:, 2]]
         return jnp.where(found, t, 0.0), jnp.where(found, w, 0.0), found
+
+
+@functools.partial(jax.jit, static_argnames=("v_cap", "t_cap"))
+def extract_mesh_fitter_arrays(
+    volume: VoxelBlockGrid,
+    v_cap: int,
+    t_cap: int,
+    weight_threshold: jnp.ndarray | float,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Welded canonical mesh padded into the fitter's STATIC-capacity
+    arrays as ONE XLA program — no host round trip (the per-op dispatch +
+    device->host->device copy of the old numpy padding path cost ~800 ms
+    per frame over the remote-TPU tunnel).
+
+    Returns (vertices f32[v_cap, 3], faces i32[t_cap, 3], vertex_count,
+    triangle_count). Slot ``v_cap - 1`` is the reserved padding vertex at
+    the origin (z=0 -> culled by the rasterizer's near-plane test); padded
+    and weld-overflow faces are redirected to it.
+    """
+    verts, faces, v_count, t_count = volume.extract_triangle_mesh(
+        max_triangles=t_cap,
+        max_vertices=v_cap - 1,
+        weight_threshold=weight_threshold,
+    )
+    vr = jnp.arange(v_cap - 1, dtype=jnp.int32)
+    verts = jnp.where((vr < v_count)[:, None], verts, 0.0)
+    vertices = jnp.concatenate(
+        [verts, jnp.zeros((1, 3), verts.dtype)], axis=0
+    )
+    tri_valid = jnp.arange(t_cap, dtype=jnp.int32) < t_count
+    faces = jnp.clip(faces, 0, v_cap - 1)
+    # padded rows and any weld-overflow index past the real vertex count
+    # both point at the reserved vertex
+    overflow = faces >= jnp.minimum(v_count, v_cap - 1)
+    faces = jnp.where(
+        tri_valid[:, None] & ~overflow, faces, v_cap - 1
+    ).astype(jnp.int32)
+    return vertices, faces, v_count, jnp.minimum(t_count, t_cap)

@@ -121,6 +121,37 @@ def _wing_t_times(
     return jax.ops.segment_sum(flat, cols, num_segments=nc)
 
 
+def _cholesky_with_escalating_damping(matrix: jnp.ndarray) -> jnp.ndarray:
+    """Cholesky factor of ``matrix``, escalating Levenberg-style diagonal
+    damping when float32 roundoff makes it indefinite.
+
+    The Schur complement ``C - W^T D^-1 W`` of a well-posed GN system is SPD
+    in exact arithmetic, but its smallest eigenvalue can sit ~1e-7 below the
+    matrix scale — under float32 cancellation it then comes out slightly
+    NEGATIVE and Cholesky emits NaN (observed on 480x640 fits: true min-eig
+    +1e-3, float32 min-eig -497 at scale 8.9e3). Escalate mu through
+    {1e-4, 1e-2, 1} x mean|diag| until the factorization is finite: extra
+    damping on the corner nodes only, and only on degenerate systems — a
+    ``lax.while_loop`` whose healthy-path cost is one isfinite reduction."""
+    eye = jnp.eye(matrix.shape[0], dtype=matrix.dtype)
+    scale = jnp.mean(jnp.abs(jnp.diagonal(matrix))) + 1e-30
+
+    def cond(state):
+        _, factor, tries = state
+        return ~jnp.all(jnp.isfinite(factor)) & (tries < 4)
+
+    def body(state):
+        mu, _, tries = state
+        mu = jnp.where(tries == 0, 1e-4 * scale, mu * 100.0)
+        return mu, jnp.linalg.cholesky(matrix + mu * eye), tries + 1
+
+    first = jnp.linalg.cholesky(matrix)
+    _, factor, _ = jax.lax.while_loop(
+        cond, body, (jnp.zeros((), matrix.dtype), first, jnp.int32(0))
+    )
+    return factor
+
+
 def solve_block_sparse_arrowhead(
     matrix: BlockSparseArrowheadMatrix, rhs: jnp.ndarray
 ) -> jnp.ndarray:
@@ -164,7 +195,7 @@ def solve_block_sparse_arrowhead(
     corner_rhs = rhs_corner - _wing_t_times(wing, matrix.wing_cols, dinv_rhs, nc).reshape(
         -1
     )
-    schur_factor = jnp.linalg.cholesky(schur)
+    schur_factor = _cholesky_with_escalating_damping(schur)
     x_corner = cholesky_solve(schur_factor, corner_rhs[:, None])[:, 0]
 
     # 5. Back-substitute: x_s = D^-1 b_s - W x_c.
