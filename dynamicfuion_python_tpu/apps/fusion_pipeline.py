@@ -24,6 +24,7 @@ Run:  python -m dynamicfuion_python_tpu.apps.fusion_pipeline \
 
 from __future__ import annotations
 
+import functools
 import sys
 from dataclasses import dataclass
 
@@ -84,9 +85,11 @@ class FusionPipeline:
         self.canonical_triangles: jnp.ndarray | None = None
         # sticky static capacities for the canonical-mesh arrays: grow-only
         # power-of-two buckets, so the (expensive) fit/extraction programs
-        # recompile only when the surface roughly doubles
-        self._mesh_t_cap = 4096
-        self._mesh_v_cap = 4096
+        # recompile only when the surface roughly doubles; a capacity hint
+        # pre-sizes them so they never grow (zero recompiles)
+        hint = _capacity_bucket(max(params.fusion.mesh_capacity_hint, 4096))
+        self._mesh_t_cap = hint
+        self._mesh_v_cap = hint
         self._canonical_soup_np: np.ndarray | None = None
         # cumulative camera pose: maps canonical(frame-0) camera space ->
         # current camera space; updated by rigid odometry each frame
@@ -253,30 +256,34 @@ class FusionPipeline:
             extract_mesh_fitter_arrays,
         )
 
+        # extraction ALWAYS runs at the config-max static capacity, so there
+        # is exactly ONE extraction program for the whole run (the growth
+        # ladder used to recompile it per bucket — minutes over the tunnel);
+        # the fitter arrays are then sliced to sticky grow-only buckets, so
+        # bucket growth costs only a fit-program recompile
         t_max = _capacity_bucket(
             self.params.fusion.extraction_max_triangles
         )
+        v_max = _capacity_bucket(t_max * 3 // 2 + 2)
         thr = self._extraction_weight_threshold()
-        while True:
-            verts, faces, v_count, t_count = extract_mesh_fitter_arrays(
-                self.volume, self._mesh_v_cap, self._mesh_t_cap, thr
+        verts, faces, v_count, t_count = extract_mesh_fitter_arrays(
+            self.volume, v_max, t_max, thr
+        )
+        v_count, t_count = (
+            int(x) for x in jax.device_get((v_count, t_count))
+        )
+        while t_count >= self._mesh_t_cap and self._mesh_t_cap < t_max:
+            self._mesh_t_cap *= 2
+        while v_count + 1 >= self._mesh_v_cap and self._mesh_v_cap < v_max:
+            self._mesh_v_cap *= 2
+        self._mesh_t_cap = min(self._mesh_t_cap, t_max)
+        self._mesh_v_cap = min(self._mesh_v_cap, v_max)
+        self.canonical_vertices, self.canonical_triangles = (
+            _slice_mesh_arrays(
+                verts, faces, self._mesh_v_cap, self._mesh_t_cap
             )
-            v_count = int(v_count)
-            t_count = int(t_count)
-            grew = False
-            if t_count >= self._mesh_t_cap and self._mesh_t_cap < t_max:
-                self._mesh_t_cap = min(self._mesh_t_cap * 2, t_max)
-                grew = True
-            if v_count + 1 >= self._mesh_v_cap and self._mesh_v_cap < (
-                t_max * 3 // 2
-            ):
-                self._mesh_v_cap *= 2
-                grew = True
-            if not grew:
-                break
-        self.canonical_vertices = verts
-        self.canonical_triangles = faces
-        self.canonical_triangle_count = t_count
+        )
+        self.canonical_triangle_count = min(t_count, self._mesh_t_cap)
         self._canonical_soup_np = None  # lazy; see canonical_mesh_soup
 
     @property
@@ -557,21 +564,14 @@ class FusionPipeline:
             self.extrinsics = delta @ self.extrinsics
         self.previous_depth = depth_j
 
-        points, mask = unproject_depth_image(
+        points, mask = _observed_points_program(
             depth_j,
             self.intrinsics,
+            self.extrinsics,
             p.fusion.depth_scale,
             p.fusion.far_clip_distance,
+            p.alignment.use_rigid_alignment,
         )
-        if p.alignment.use_rigid_alignment:
-            from dynamicfuion_python_tpu.ops.camera import transform_points
-
-            inv = jnp.linalg.inv(self.extrinsics)
-            points = jnp.where(
-                mask[..., None],
-                transform_points(points.reshape(-1, 3), inv).reshape(points.shape),
-                0.0,
-            )
 
         # NEURAL PRIOR stage (SURVEY §0: neural tracking bootstraps the
         # fitter): predict keyframe->current node transforms from dense flow
@@ -599,46 +599,26 @@ class FusionPipeline:
         )
 
         ext = (
-            self.extrinsics if p.alignment.use_rigid_alignment else None
+            self.extrinsics
+            if p.alignment.use_rigid_alignment
+            else jnp.eye(4, dtype=jnp.float32)
         )
-        intersecting = self.volume.find_blocks_intersecting_truncation_region(
-            depth_j, self.warp_field, self.intrinsics,
-            post_warp_extrinsics=ext,
-        )
-        self.volume = self.volume.activate_sleeve_blocks(intersecting)
-        intersecting = self.volume.find_blocks_intersecting_truncation_region(
-            depth_j, self.warp_field, self.intrinsics,
-            post_warp_extrinsics=ext,
-        )
-        color_j = (
-            jnp.asarray(color, jnp.float32) / 255.0 if color is not None else None
-        )
-        # normal map for the oblique-angle test is in the current camera
-        # frame; recompute from the untransformed observation
-        raw_points, _ = unproject_depth_image(
-            depth_j, self.intrinsics, p.fusion.depth_scale,
-            p.fusion.far_clip_distance,
-        )
-        # compact the active-block list so per-frame voxel work scales with
-        # the visible surface, not the table capacity
-        max_active = min(
-            p.tsdf.max_active_blocks, self.volume.capacity
-        )
-        (active_slots,) = jnp.nonzero(
-            intersecting, size=max_active, fill_value=0
-        )
-        active_valid = intersecting[active_slots] & (
-            jnp.arange(max_active) < jnp.sum(intersecting)
-        )
-        self.volume = self.volume.integrate_non_rigid(
-            active_slots,
-            active_valid,
+        max_active = min(p.tsdf.max_active_blocks, self.volume.capacity)
+        # a frame whose final GN iteration failed its valid-solve guard is
+        # NOT fused (the lax.cond inside skips the update at runtime)
+        frame_valid = diagnostics["valid_solve"][-1]
+        self.volume, n_intersecting = _volume_update_program(
+            self.volume,
             self.warp_field,
             depth_j,
+            jnp.asarray(color) if color is not None else depth_j,
             self.intrinsics,
-            color=color_j,
-            normals=point_image_normals(raw_points),
-            post_warp_extrinsics=ext,
+            ext,
+            frame_valid,
+            max_active,
+            color is not None,
+            p.fusion.depth_scale,
+            p.fusion.far_clip_distance,
         )
         self._refresh_canonical_mesh()
         if self.keyframe_source is not None and self._keyframe_should_roll():
@@ -680,8 +660,9 @@ class FusionPipeline:
             (
                 diagnostics["data_loss"],
                 diagnostics["arap_loss"],
-                jnp.sum(intersecting),
+                n_intersecting,
                 rigid_rmse,
+                diagnostics["valid_solve"],
             )
         )
         return {
@@ -689,6 +670,7 @@ class FusionPipeline:
             "arap_loss": [float(x) for x in fetched[1]],
             "active_blocks": int(fetched[2]),
             "rigid_rmse": float(fetched[3]),
+            "valid_solve": [bool(x) for x in fetched[4]],
             **prior_metrics,
         }
 
@@ -747,6 +729,108 @@ def _load_prior_network(checkpoint_path: str, num_nodes: int):
     return net, flax.serialization.msgpack_restore(
         Path(checkpoint_path).read_bytes()
     )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("depth_scale", "far_clip", "use_rigid"),
+)
+def _observed_points_program(
+    depth, intrinsics, extrinsics, depth_scale: float, far_clip: float,
+    use_rigid: bool,
+):
+    """Depth -> canonical-frame observed point image + mask, as one
+    program (one tunnel dispatch instead of ~8)."""
+    points, mask = unproject_depth_image(
+        depth, intrinsics, depth_scale, far_clip
+    )
+    if use_rigid:
+        from dynamicfuion_python_tpu.ops.camera import transform_points
+
+        inv = jnp.linalg.inv(extrinsics)
+        points = jnp.where(
+            mask[..., None],
+            transform_points(points.reshape(-1, 3), inv).reshape(
+                points.shape
+            ),
+            0.0,
+        )
+    return points, mask
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_active", "use_color", "depth_scale", "far_clip"),
+)
+def _volume_update_program(
+    volume,
+    field,
+    depth,
+    color,
+    intrinsics,
+    post_warp_extrinsics,
+    frame_valid,
+    max_active: int,
+    use_color: bool,
+    depth_scale: float,
+    far_clip: float,
+):
+    """The whole per-frame TSDF update — block discovery, sleeve
+    activation, re-discovery, active-list compaction, non-rigid
+    integration — as ONE XLA program. Unjitted this path dispatched ~60
+    ops per frame over the remote-TPU tunnel (~250 ms of pure latency).
+
+    ``frame_valid`` gates the whole update at runtime (reference
+    ``valid_solve`` semantics: a frame whose GN solve failed must not be
+    fused into the volume)."""
+
+    def _do(volume):
+        intersecting = volume.find_blocks_intersecting_truncation_region(
+            depth, field, intrinsics,
+            post_warp_extrinsics=post_warp_extrinsics,
+        )
+        volume = volume.activate_sleeve_blocks(intersecting)
+        intersecting = volume.find_blocks_intersecting_truncation_region(
+            depth, field, intrinsics,
+            post_warp_extrinsics=post_warp_extrinsics,
+        )
+        (active_slots,) = jnp.nonzero(
+            intersecting, size=max_active, fill_value=0
+        )
+        active_valid = intersecting[active_slots] & (
+            jnp.arange(max_active) < jnp.sum(intersecting)
+        )
+        raw_points, _ = unproject_depth_image(
+            depth, intrinsics, depth_scale, far_clip
+        )
+        volume = volume.integrate_non_rigid(
+            active_slots,
+            active_valid,
+            field,
+            depth,
+            intrinsics,
+            color=(color.astype(jnp.float32) / 255.0) if use_color else None,
+            normals=point_image_normals(raw_points),
+            post_warp_extrinsics=post_warp_extrinsics,
+        )
+        return volume, jnp.sum(intersecting)
+
+    def _skip(volume):
+        return volume, jnp.int32(0)
+
+    return jax.lax.cond(frame_valid, _do, _skip, volume)
+
+
+@functools.partial(jax.jit, static_argnames=("v_cap", "t_cap"))
+def _slice_mesh_arrays(verts, faces, v_cap: int, t_cap: int):
+    """Slice max-capacity extraction output down to the fitter's sticky
+    buckets: vertex slot ``v_cap - 1`` becomes the reserved padding vertex,
+    and any face index at/past it (the max-capacity padding slot, or weld
+    overflow beyond the bucket) redirects there."""
+    v = verts[:v_cap].at[v_cap - 1].set(0.0)
+    f = faces[:t_cap]
+    f = jnp.where(f >= v_cap - 1, v_cap - 1, f)
+    return v, f
 
 
 def _capacity_bucket(n: int, minimum: int = 1024) -> int:

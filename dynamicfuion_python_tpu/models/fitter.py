@@ -57,7 +57,7 @@ from dynamicfuion_python_tpu.ops.linalg import (
 from dynamicfuion_python_tpu.ops.normals import mesh_vertex_normals
 from dynamicfuion_python_tpu.ops.rasterize import (
     extract_face_vertices,
-    rasterize_binned,
+    rasterize_splat,
 )
 
 _P = jax.lax.Precision.HIGHEST
@@ -583,10 +583,11 @@ def _fit_program(
     data_losses = []
     arap_losses = []
     translations_per_iteration = []
+    valid_solves = []
     for mode, count in runs:
 
         def body(carry, _, _mode=mode):
-            new_field, data_loss, arap_loss = _gauss_newton_step_impl(
+            new_field, data_loss, arap_loss, valid = _gauss_newton_step_impl(
                 carry,
                 canonical_vertices,
                 canonical_triangles,
@@ -603,17 +604,22 @@ def _fit_program(
                 data_loss,
                 arap_loss,
                 new_field.node_translations,
+                valid,
             )
 
-        field, (dl, al, tr) = jax.lax.scan(body, field, None, length=count)
+        field, (dl, al, tr, vs) = jax.lax.scan(
+            body, field, None, length=count
+        )
         data_losses.append(dl)
         arap_losses.append(al)
         translations_per_iteration.append(tr)
+        valid_solves.append(vs)
     return (
         field,
         jnp.concatenate(data_losses),
         jnp.concatenate(arap_losses),
         jnp.concatenate(translations_per_iteration),
+        jnp.concatenate(valid_solves),
     )
 
 
@@ -631,20 +637,23 @@ def fit_to_image(
     Mirrors ``DeformableMeshToImageFitter::FitToImage``
     (``DeformableMeshToImageFitter.cpp:85-276``).
     """
-    field, data_losses, arap_losses, trans_per_iter = _fit_program(
-        field,
-        canonical_vertices,
-        canonical_triangles,
-        reference_points,
-        reference_mask,
-        intrinsics,
-        config,
-        _max_wing_degree(field),
+    field, data_losses, arap_losses, trans_per_iter, valid_solves = (
+        _fit_program(
+            field,
+            canonical_vertices,
+            canonical_triangles,
+            reference_points,
+            reference_mask,
+            intrinsics,
+            config,
+            _max_wing_degree(field),
+        )
     )
     diagnostics = {
         "data_loss": list(data_losses),
         "arap_loss": list(arap_losses),
         "node_translations_per_iteration": trans_per_iter,
+        "valid_solve": valid_solves,
     }
     return field, diagnostics
 
@@ -683,15 +692,17 @@ def _gauss_newton_step_impl(
         near=1e-3,
         far=config.max_depth,
     )
-    frag = rasterize_binned(
+    # splat path: bit-exact with the binned/naive oracles (tests) and ~10x
+    # faster on TPU (one sort over emitted fragments instead of per-tile
+    # bin loops); surface triangles here are voxel-scale (a few px), so the
+    # small-tier windows cover them and the cond-guarded fallback is idle
+    frag = rasterize_splat(
         face_verts_pix,
         valid_faces,
         (h, w),
         faces_per_pixel=1,
         perspective_correct=True,
         cull_back_faces=False,
-        tile_size=config.tile_size,
-        max_faces_per_bin=config.max_faces_per_bin,
     )
     frag_faces = jax.lax.stop_gradient(frag.face_indices[..., 0])  # [H, W]
 
@@ -820,9 +831,18 @@ def _gauss_newton_step_impl(
     delta = solution.reshape(n, 6)
     delta = delta * dof_mask[None, :]
 
+    # valid-solve guard (reference marks valid_solve=0 on non-finite /
+    # blown-up solutions, point_cloud_alignment_optimizer.py:219-267, and
+    # skips the update): an invalid iteration applies ZERO delta so the
+    # field can never be poisoned by one degenerate frame
+    valid_solve = jnp.all(jnp.isfinite(delta)) & (
+        jnp.max(jnp.abs(delta)) < 1e2
+    )
+    delta = jnp.where(valid_solve, delta, 0.0)
+
     field = field.rotate_nodes_virtual(delta[:, :3])
     field = field.translate_nodes_virtual(delta[:, 3:])
-    return field, data_loss, arap_loss
+    return field, data_loss, arap_loss, valid_solve
 
 
 def _warp_vertices(vertices, pos_v, rot_v, trans_v, anchors, weights):

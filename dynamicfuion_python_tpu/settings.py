@@ -121,6 +121,10 @@ class FusionConfig:
     start_at_frame: int = 0
     run_until_frame: int = -1
     extraction_max_triangles: int = 400000
+    # pre-size the canonical-mesh capacity buckets (power-of-two) so the
+    # fit/extraction programs compile ONCE instead of recompiling as the
+    # surface grows; 0 = adapt from 4096 upward (each growth recompiles)
+    mesh_capacity_hint: int = 0
     # mesh-extraction weight thresholding (reference
     # determine_mesh_extraction_threshold, pipeline.py:451-462)
     mesh_extraction_weight_thresholding_mode: MeshExtractionWeightThresholdingMode = (

@@ -285,3 +285,37 @@ class TestDataTermParity:
         np.testing.assert_allclose(
             np.asarray(h_f), np.asarray(h_a), rtol=1e-4, atol=1e-5
         )
+
+
+class TestValidSolveGuard:
+    def test_nan_observation_marks_invalid_and_freezes_field(self):
+        """Corrupt observations (NaN reference points) must mark every
+        iteration valid_solve=False and leave the field untouched — one
+        degenerate frame must not poison the fit (reference
+        ``point_cloud_alignment_optimizer.py:219-267`` semantics)."""
+        verts, tris = _plane_mesh()
+        field = _field_over_mesh(verts)
+        ref_pts = jnp.full((H, W, 3), jnp.nan, jnp.float32)
+        ref_mask = jnp.ones((H, W), bool)
+        config = FitterConfig(max_iterations=3, use_regularization=True)
+        new_field, diag = fit_to_image(
+            field, verts, tris, ref_pts, ref_mask, INTR, config
+        )
+        assert not bool(np.asarray(diag["valid_solve"]).any())
+        np.testing.assert_array_equal(
+            np.asarray(new_field.node_translations),
+            np.asarray(field.node_translations),
+        )
+        assert np.isfinite(np.asarray(new_field.node_translations)).all()
+
+    def test_healthy_fit_reports_valid(self):
+        verts, tris = _plane_mesh()
+        field = _field_over_mesh(verts)
+        ref_pts, ref_mask = _observed_points_from_transform(
+            verts, tris, jnp.eye(3), jnp.asarray([0.0, 0.0, 0.01])
+        )
+        config = FitterConfig(max_iterations=2, use_regularization=True)
+        _, diag = fit_to_image(
+            field, verts, tris, ref_pts, ref_mask, INTR, config
+        )
+        assert bool(np.asarray(diag["valid_solve"]).all())

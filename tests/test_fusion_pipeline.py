@@ -323,3 +323,41 @@ class TestPipelineModes:
         assert (anchors[1, 0] == -1).all()
         # pixel at node 3 (disconnected): seeds at node 3 itself
         assert anchors[1, 1][0] == 3
+
+
+class TestInvalidFrameSkipsFusion:
+    def test_invalid_solve_leaves_volume_untouched(self, params, monkeypatch):
+        """When a frame's final GN iteration fails its valid-solve guard
+        the fusion loop must skip integration (VERDICT #6: one degenerate
+        frame used to poison the volume) and keep running."""
+        import jax.numpy as jnp
+
+        import dynamicfuion_python_tpu.apps.fusion_pipeline as fp
+
+        seq = SyntheticBendingPlaneSequence(
+            frame_count=3, image_size=(96, 128), bend_per_frame=0.02,
+            focal=160.0,
+        )
+        frames = list(seq)
+        pipe = fp.FusionPipeline(params, seq.intrinsics)
+        pipe.initialize(frames[0].depth, frames[0].color)
+        m1 = pipe.process_frame(frames[1].depth, frames[1].color)
+        assert m1["valid_solve"][-1] is True
+        tsdf_before = np.asarray(pipe.volume.tsdf)
+        weight_before = np.asarray(pipe.volume.weight)
+
+        real_fit = fp.fit_to_image
+
+        def failing_fit(field, *args, **kwargs):
+            _, diag = real_fit(field, *args, **kwargs)
+            diag["valid_solve"] = jnp.zeros_like(diag["valid_solve"])
+            return field, diag  # field unchanged, all iterations invalid
+
+        monkeypatch.setattr(fp, "fit_to_image", failing_fit)
+        m2 = pipe.process_frame(frames[2].depth, frames[2].color)
+        assert m2["valid_solve"][-1] is False
+        assert m2["active_blocks"] == 0  # update skipped at runtime
+        np.testing.assert_array_equal(np.asarray(pipe.volume.tsdf), tsdf_before)
+        np.testing.assert_array_equal(
+            np.asarray(pipe.volume.weight), weight_before
+        )
