@@ -128,7 +128,7 @@ def bench_fusion(frames=10, size=(240, 320), max_triangles=16384, warmup=5):
             "tsdf.voxel_size=0.01",
             "tsdf.sdf_truncation_distance=0.04",
             # pre-size the mesh capacity buckets: compile once, never grow
-            f"fusion.mesh_capacity_hint={max_triangles}",
+            "fusion.mesh_capacity_hint=8192",
         ],
     )
     seq = SyntheticBendingPlaneSequence(

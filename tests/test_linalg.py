@@ -172,3 +172,15 @@ class TestConfig:
         assert loaded.inner.voxel_size == 0.01
         assert loaded.inner.resolution == 16
         assert loads_yaml(dumps_yaml(cfg))["inner"]["resolution"] == 16
+
+
+class TestSolveBlockDiagonalQR:
+    def test_matches_dense_solve_on_nonsymmetric_blocks(self, rng):
+        from dynamicfuion_python_tpu.ops.linalg import solve_block_diagonal_qr
+
+        blocks = rng.normal(size=(5, 6, 6)).astype(np.float32)
+        blocks += 6 * np.eye(6, dtype=np.float32)  # well-conditioned, NOT SPD
+        rhs = rng.normal(size=(5, 6)).astype(np.float32)
+        got = np.asarray(solve_block_diagonal_qr(jnp.asarray(blocks), jnp.asarray(rhs)))
+        want = np.stack([np.linalg.solve(b, r) for b, r in zip(blocks, rhs)])
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
