@@ -129,6 +129,8 @@ def bench_fusion(frames=10, size=(240, 320), max_triangles=16384, warmup=5):
             "tsdf.sdf_truncation_distance=0.04",
             # pre-size the mesh capacity buckets: compile once, never grow
             "fusion.mesh_capacity_hint=8192",
+            "tsdf.initial_block_count=512",
+            "tsdf.max_active_blocks=256",
         ],
     )
     seq = SyntheticBendingPlaneSequence(

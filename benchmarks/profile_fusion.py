@@ -51,6 +51,8 @@ def main():
             "tsdf.voxel_size=0.01",
             "tsdf.sdf_truncation_distance=0.04",
             "fusion.mesh_capacity_hint=8192",
+            "tsdf.initial_block_count=512",
+            "tsdf.max_active_blocks=256",
         ],
     )
     h, w = args.size
