@@ -361,3 +361,41 @@ class TestInvalidFrameSkipsFusion:
         np.testing.assert_array_equal(
             np.asarray(pipe.volume.weight), weight_before
         )
+
+
+class TestTelemetryRecorders:
+    def test_deep_recorders_write_artifacts(self, params, tmp_path):
+        """The optional deep recorders (per-GN-iteration states, prior
+        correspondences, rendered warped mesh) produce their artifacts when
+        toggled on (reference telemetry_generator.py:88-113)."""
+        from dynamicfuion_python_tpu.apps.fusion_pipeline import FusionPipeline
+        from dynamicfuion_python_tpu.utils.config import apply_overrides
+        from dynamicfuion_python_tpu.utils.telemetry import TelemetryRecorder
+
+        p = apply_overrides(
+            params,
+            [
+                f"telemetry.output_directory={tmp_path}",
+                "telemetry.record_gn_point_clouds=true",
+                "telemetry.record_correspondences=true",
+                "telemetry.record_rendered_warped_mesh=true",
+            ],
+        )
+        seq = ShiftedPlaneSequence(shift=0.04)
+        frames = [seq.load_frame(0), seq.load_frame(1)]
+        pipe = FusionPipeline(p, seq.intrinsics)
+        pipe.telemetry = TelemetryRecorder(p.telemetry, "deep_rec")
+        pipe.initialize(frames[0].depth, frames[0].color)
+        pipe.process_frame(
+            frames[1].depth, frames[1].color, prior_flow=seq.oracle_flow(1)
+        )
+        run_dir = tmp_path / "deep_rec"
+        gn = list(run_dir.glob("*_gn_iterations.npz"))
+        assert gn, list(run_dir.iterdir())
+        data = np.load(gn[0])
+        assert data["data_losses"].ndim == 1 and len(data["data_losses"]) > 0
+        assert data["node_translations"].ndim == 3
+        assert list(run_dir.glob("*_correspondences.npz"))
+        assert list(run_dir.glob("*_rendered*.png")) or list(
+            run_dir.glob("*_rendered*.npz")
+        ), list(run_dir.iterdir())
