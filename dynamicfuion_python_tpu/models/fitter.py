@@ -394,6 +394,44 @@ def _data_term_autodiff(
     return h_data, g_data, data_loss
 
 
+def _segment_sum_mxu(
+    values: jnp.ndarray, seg: jnp.ndarray, num_segments: int, chunk: int = 65536
+) -> jnp.ndarray:
+    """``segment_sum`` as a chunked one-hot matmul.
+
+    TPU scatter-add serializes conflicting rows; for ~1M rows into ~100
+    segments it costs tens of ms. The same reduction as
+    ``onehot(seg)^T @ values`` rides the MXU in well under a millisecond.
+    Rows whose segment id is outside [0, num_segments) are dropped (their
+    one-hot row is all zeros) — matching the overflow-segment idiom.
+    """
+    m, c = values.shape
+    m_pad = (m + chunk - 1) // chunk * chunk
+    v = jnp.pad(values, ((0, m_pad - m), (0, 0)))
+    s = jnp.pad(seg, (0, m_pad - m), constant_values=num_segments)
+    v = v.reshape(-1, chunk, c)
+    s = s.reshape(-1, chunk)
+    ids = jnp.arange(num_segments, dtype=seg.dtype)
+
+    def body(acc, vs):
+        vv, ss = vs
+        onehot = (ss[:, None] == ids[None, :]).astype(values.dtype)
+        return (
+            acc
+            + jnp.einsum(
+                "mc,mn->nc", vv, onehot, precision=jax.lax.Precision.HIGHEST
+            ),
+            None,
+        )
+
+    if v.shape[0] == 1:
+        acc, _ = body(jnp.zeros((num_segments, c), values.dtype), (v[0], s[0]))
+        return acc
+    acc0 = jnp.zeros((num_segments, c), values.dtype)
+    acc, _ = jax.lax.scan(body, acc0, (v, s))
+    return acc
+
+
 def _data_term_fast(
     pos_v,  # f32[N, 3] virtual node positions
     rot_v,  # f32[N, 3, 3]
@@ -525,13 +563,16 @@ def _data_term_fast(
         [jflat[a] * jflat[b] * scale for a in range(6) for b in range(6)],
         axis=-1,
     )  # [P*12, 36]
-    h_data = jax.ops.segment_sum(outer36, seg, num_segments=n + 1)[:n].reshape(
-        n, 6, 6
-    )
     g_rows = jnp.stack(
         [-jc * (flat_w * flat_r) for jc in jflat], axis=-1
     )  # [P*12, 6]
-    g_data = jax.ops.segment_sum(g_rows, seg, num_segments=n + 1)[:n]
+    # one fused MXU reduction for H and g (42 columns); the overflow
+    # segment id n maps to a zero one-hot row and is dropped
+    hg = _segment_sum_mxu(
+        jnp.concatenate([outer36, g_rows], axis=-1), seg, n
+    )
+    h_data = hg[:, :36].reshape(n, 6, 6)
+    g_data = hg[:, 36:]
     data_loss = 0.5 * jnp.sum(weight * residuals**2)
     return h_data, g_data, data_loss
 

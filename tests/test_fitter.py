@@ -319,3 +319,18 @@ class TestValidSolveGuard:
             field, verts, tris, ref_pts, ref_mask, INTR, config
         )
         assert bool(np.asarray(diag["valid_solve"]).all())
+
+
+class TestSegmentSumMxu:
+    def test_matches_segment_sum(self):
+        from dynamicfuion_python_tpu.models.fitter import _segment_sum_mxu
+
+        rng = np.random.default_rng(3)
+        m, c, n = 200_001, 7, 83  # odd sizes exercise chunk padding
+        vals = jnp.asarray(rng.normal(size=(m, c)).astype(np.float32))
+        seg = jnp.asarray(rng.integers(0, n + 1, size=m).astype(np.int32))
+        got = _segment_sum_mxu(vals, seg, n, chunk=65536)
+        want = jax.ops.segment_sum(vals, seg, num_segments=n + 1)[:n]
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4
+        )
