@@ -106,7 +106,7 @@ def bench_raster():
     return dt_ms
 
 
-def bench_fusion(frames=10, size=(240, 320), max_triangles=32768, warmup=5):
+def bench_fusion(frames=10, size=(240, 320), max_triangles=16384, warmup=5):
     import jax
 
     from dynamicfuion_python_tpu.apps.fusion_pipeline import FusionPipeline

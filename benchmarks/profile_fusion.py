@@ -29,7 +29,7 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--frames", type=int, default=8)
     parser.add_argument("--size", type=int, nargs=2, default=(240, 320))
-    parser.add_argument("--max-triangles", type=int, default=32768)
+    parser.add_argument("--max-triangles", type=int, default=16384)
     parser.add_argument("--trace-dir", default=None)
     args = parser.parse_args()
 

@@ -369,3 +369,84 @@ class TestSamplingAndRayCast:
         assert mask[H // 2, W // 2]
         # ray_cast depth ~ integrated plane depth at every hit pixel
         np.testing.assert_allclose(d[mask], 1.0, atol=0.01)
+
+
+class TestMarchingCubes:
+    def _sphere_block(self, r=16, radius=0.3):
+        import jax.numpy as jnp
+
+        grid = np.mgrid[0 : r + 1, 0 : r + 1, 0 : r + 1].astype(np.float32)
+        grid = grid.transpose(1, 2, 3, 0)
+        scale = 1.0 / r
+        center = np.array([0.5, 0.5, 0.5]) / scale
+        tsdf = (
+            np.linalg.norm(grid - center, axis=-1) * scale - radius
+        ).astype(np.float32)[None]
+        valid = np.ones_like(tsdf, bool)
+        return (
+            jnp.asarray(tsdf),
+            jnp.asarray(valid),
+            jnp.zeros((1, 3), jnp.float32),
+            scale,
+        )
+
+    def test_sphere_accuracy_and_orientation(self):
+        from dynamicfuion_python_tpu.ops.marching_cubes import marching_cubes
+
+        tsdf, valid, origins, scale = self._sphere_block()
+        verts, count = marching_cubes(tsdf, valid, origins, scale, 8192)
+        count = int(count)
+        assert count > 500
+        v = np.asarray(verts)[:count]
+        center = np.array([0.5, 0.5, 0.5])
+        d = np.linalg.norm(v.reshape(-1, 3) - center, axis=-1)
+        assert float(np.abs(d - 0.3).max()) < scale / 4
+        # outward winding everywhere (TSDF positive outside)
+        a, b, c = v[:, 0], v[:, 1], v[:, 2]
+        n = np.cross(b - a, c - a)
+        outward = np.einsum("ij,ij->i", n, a - center)
+        assert (outward > 0).all()
+
+    def test_closed_surface_is_edge_manifold(self):
+        """Crack-free check: after welding, every edge of the closed sphere
+        surface is shared by exactly two triangles (the per-face pairing
+        convention must agree between neighboring cells)."""
+        from dynamicfuion_python_tpu.ops.marching_cubes import marching_cubes
+
+        tsdf, valid, origins, scale = self._sphere_block()
+        verts, count = marching_cubes(tsdf, valid, origins, scale, 8192)
+        count = int(count)
+        v = np.asarray(verts)[:count].reshape(-1, 3)
+        q = np.round(v / 1e-6).astype(np.int64)
+        _, inv = np.unique(q, axis=0, return_inverse=True)
+        faces = inv.reshape(-1, 3)
+        deg = (
+            (faces[:, 0] == faces[:, 1])
+            | (faces[:, 1] == faces[:, 2])
+            | (faces[:, 0] == faces[:, 2])
+        )
+        faces = faces[~deg]
+        edges = np.concatenate(
+            [faces[:, [0, 1]], faces[:, [1, 2]], faces[:, [2, 0]]]
+        )
+        edges = np.sort(edges, axis=1)
+        _, counts = np.unique(edges, axis=0, return_counts=True)
+        assert (counts == 2).all(), np.bincount(counts)
+
+    def test_matches_tetrahedra_isosurface(self):
+        """Both kernels approximate the same zero level set: every MC
+        vertex must lie within a voxel of the tetrahedra surface."""
+        from dynamicfuion_python_tpu.ops.marching_cubes import marching_cubes
+        from dynamicfuion_python_tpu.ops.marching_tetrahedra import (
+            marching_tetrahedra,
+        )
+        from scipy.spatial import cKDTree
+
+        tsdf, valid, origins, scale = self._sphere_block()
+        mc_v, mc_n = marching_cubes(tsdf, valid, origins, scale, 8192)
+        mt_v, mt_n = marching_tetrahedra(tsdf, valid, origins, scale, 32768)
+        mc = np.asarray(mc_v)[: int(mc_n)].reshape(-1, 3)
+        mt = np.asarray(mt_v)[: int(mt_n)].reshape(-1, 3)
+        assert int(mc_n) < int(mt_n) / 2  # the point of MC: far fewer tris
+        d, _ = cKDTree(mt).query(mc)
+        assert float(d.max()) < scale
