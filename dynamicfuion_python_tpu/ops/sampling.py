@@ -15,6 +15,7 @@ standard XLA replacement for dynamic allocation.
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -23,13 +24,36 @@ import jax.numpy as jnp
 #: jnp scalar would initialize the device backend at import time)
 PAD_VALUE = float("nan")
 
+#: sentinel cell id sorting masked-out points into one trailing segment
+_INVALID_ID = jnp.iinfo(jnp.int32).max
 
-def _cell_ids(points: jnp.ndarray, cell_size: float) -> jnp.ndarray:
-    """Quantize points to flat grid-cell ids (collision-free within extent)."""
-    mins = jnp.min(points, axis=0)
-    cells = jnp.floor((points - mins) / cell_size).astype(jnp.int32)
+
+def _cell_ids(
+    points: jnp.ndarray,
+    cell_size: float,
+    offset: float = 0.0,
+    valid: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Quantize points to flat grid-cell ids (collision-free within extent).
+
+    ``offset`` shifts the grid by that fraction of a cell on every axis (the
+    reference's half-cell-offset second radius-downsampling pass,
+    ``kernel/GeometrySamplingImpl.h:73-74``). Points where ``valid`` is False
+    all map to one sentinel id that sorts after every real cell.
+    """
+    if valid is None:
+        mins = jnp.min(points, axis=0)
+    else:
+        big = jnp.full_like(points, jnp.inf)
+        mins = jnp.min(jnp.where(valid[:, None], points, big), axis=0)
+    cells = jnp.floor((points - mins) / cell_size + offset).astype(jnp.int32)
+    if valid is not None:
+        cells = jnp.where(valid[:, None], cells, 0)
     extent = jnp.max(cells, axis=0) + 1
-    return (cells[:, 0] * extent[1] + cells[:, 1]) * extent[2] + cells[:, 2]
+    ids = (cells[:, 0] * extent[1] + cells[:, 1]) * extent[2] + cells[:, 2]
+    if valid is not None:
+        ids = jnp.where(valid, ids, _INVALID_ID)
+    return ids
 
 
 def _segment_layout(ids: jnp.ndarray):
@@ -43,35 +67,51 @@ def _segment_layout(ids: jnp.ndarray):
     return order, seg, seg[-1] + 1
 
 
-@functools.partial(jax.jit, static_argnames=("cell_size",))
+@functools.partial(jax.jit, static_argnames=("cell_size", "offset"))
 def mean_grid_downsample(
-    points: jnp.ndarray, cell_size: float
+    points: jnp.ndarray,
+    cell_size: float,
+    offset: float = 0.0,
+    valid: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Average points per occupied cell.
 
     Returns (f32[N, 3] padded with NaN beyond ``count``, count int32).
-    Occupied-cell order follows ascending cell id (deterministic).
+    Occupied-cell order follows ascending cell id (deterministic). ``valid``
+    masks input slots out entirely (for chaining over padded outputs).
     """
     n = points.shape[0]
-    order, seg, count = _segment_layout(_cell_ids(points, cell_size))
+    if valid is not None:
+        points = jnp.where(valid[:, None], points, 0.0)
+    order, seg, count = _segment_layout(_cell_ids(points, cell_size, offset, valid))
     sorted_points = points[order]
     sums = jax.ops.segment_sum(sorted_points, seg, num_segments=n)
     nums = jax.ops.segment_sum(jnp.ones((n,), points.dtype), seg, num_segments=n)
     means = sums / jnp.maximum(nums, 1.0)[:, None]
-    valid = jnp.arange(n) < count
-    return jnp.where(valid[:, None], means, PAD_VALUE), count
+    if valid is not None:
+        # masked slots share one sentinel segment that sorts last — drop it
+        count = count - jnp.any(~valid).astype(count.dtype)
+    ok = jnp.arange(n) < count
+    return jnp.where(ok[:, None], means, PAD_VALUE), count
 
 
-@functools.partial(jax.jit, static_argnames=("cell_size",))
+@functools.partial(jax.jit, static_argnames=("cell_size", "offset"))
 def median_grid_subsample(
-    points: jnp.ndarray, cell_size: float
+    points: jnp.ndarray,
+    cell_size: float,
+    offset: float = 0.0,
+    valid: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Pick, per occupied cell, the index of the input point closest to the
     cell mean ("closest-to-mean grid subsample", the reference's hierarchy
     decimation primitive). Returns (int32[N] padded with -1, count).
     """
     n = points.shape[0]
-    order, seg, count = _segment_layout(_cell_ids(points, cell_size))
+    if valid is not None:
+        points = jnp.where(valid[:, None], points, 0.0)
+    order, seg, count = _segment_layout(_cell_ids(points, cell_size, offset, valid))
+    if valid is not None:
+        count = count - jnp.any(~valid).astype(count.dtype)
     sorted_points = points[order]
     sums = jax.ops.segment_sum(sorted_points, seg, num_segments=n)
     nums = jax.ops.segment_sum(jnp.ones((n,), points.dtype), seg, num_segments=n)
@@ -88,3 +128,54 @@ def median_grid_subsample(
         jnp.arange(n) < count, order[jnp.minimum(first_best, n - 1)], -1
     ).astype(jnp.int32)
     return indices, count
+
+
+def _radius_cell(radius: float) -> float:
+    """Two-pass grid cell size for a given separation radius: the reference
+    uses cell = 2·sqrt(2·r²) (``kernel/GeometrySamplingImpl.h:70-71``)."""
+    return 2.0 * math.sqrt(2.0) * radius
+
+
+@functools.partial(jax.jit, static_argnames=("radius",))
+def fast_mean_radius_downsample(
+    points: jnp.ndarray, radius: float
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Average-downsample so results are ~``radius`` apart, device-native.
+
+    The reference's ``FastMeanRadiusDownsample3dPoints``
+    (``cpp/geometry/functional/GeometrySampling.h:54``,
+    ``kernel/GeometrySamplingImpl.h:65-75``): two mean-grid passes at cell
+    size 2·sqrt(2)·radius, the second with the grid offset by half a cell,
+    trading maximality for two fused sort+segment passes (no hash map /
+    atomics on TPU). Returns (f32[N, 3] NaN-padded, count).
+    """
+    n = points.shape[0]
+    stage1, count1 = mean_grid_downsample(points, _radius_cell(radius))
+    valid1 = jnp.arange(n) < count1
+    return mean_grid_downsample(
+        jnp.where(valid1[:, None], stage1, 0.0),
+        _radius_cell(radius),
+        offset=0.5,
+        valid=valid1,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("radius",))
+def fast_median_radius_subsample(
+    points: jnp.ndarray, radius: float
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Index-returning variant of :func:`fast_mean_radius_downsample`
+    (the reference's ``FastMedianRadiusSubsample3dPoints``,
+    ``instantiations/GeometrySamplingCPU.cpp:62``): each surviving sample is
+    an actual input point (closest-to-mean per cell, both passes).
+    Returns (int32[N] indices into ``points`` padded with -1, count).
+    """
+    n = points.shape[0]
+    idx1, count1 = median_grid_subsample(points, _radius_cell(radius))
+    valid1 = jnp.arange(n) < count1
+    stage1 = jnp.where(valid1[:, None], points[jnp.maximum(idx1, 0)], 0.0)
+    idx2, count2 = median_grid_subsample(
+        stage1, _radius_cell(radius), offset=0.5, valid=valid1
+    )
+    final = jnp.where(idx2 >= 0, idx1[jnp.maximum(idx2, 0)], -1)
+    return final.astype(jnp.int32), count2

@@ -22,6 +22,8 @@ from dynamicfuion_python_tpu.ops.normals import (
     triangle_normals,
 )
 from dynamicfuion_python_tpu.ops.sampling import (
+    fast_mean_radius_downsample,
+    fast_median_radius_subsample,
     mean_grid_downsample,
     median_grid_subsample,
 )
@@ -163,6 +165,40 @@ class TestSampling:
             assert np.isclose(
                 ((pts[i] - mean) ** 2).sum(), d.min(), atol=1e-6
             )
+
+    def test_fast_mean_radius_downsample_merges_clusters(self, rng):
+        # 6 tight clusters (diameter << radius) far apart: the two-pass grid
+        # downsample must merge each cluster to (about) its mean and never
+        # merge distinct clusters
+        centers = np.array(
+            [[0, 0, 0], [5, 0, 0], [0, 5, 0], [0, 0, 5], [5, 5, 0], [5, 5, 5]],
+            np.float32,
+        )
+        pts = np.concatenate(
+            [c + rng.normal(0, 0.01, size=(30, 3)) for c in centers]
+        ).astype(np.float32)
+        out, count = fast_mean_radius_downsample(jnp.asarray(pts), 0.5)
+        count = int(count)
+        assert count == len(centers)
+        got = np.asarray(out)[:count]
+        assert np.isnan(np.asarray(out)[count:]).all()
+        # each result within 5 cm of one distinct center
+        d = np.linalg.norm(got[:, None] - centers[None], axis=-1)
+        assert sorted(d.argmin(1).tolist()) == list(range(len(centers)))
+        assert (d.min(1) < 0.05).all()
+
+    def test_fast_median_radius_subsample_returns_input_indices(self, rng):
+        pts = rng.uniform(0, 1, size=(120, 3)).astype(np.float32)
+        idx, count = fast_median_radius_subsample(jnp.asarray(pts), 0.2)
+        count = int(count)
+        idx = np.asarray(idx)
+        assert count >= 1
+        assert (idx[:count] >= 0).all() and (idx[:count] < 120).all()
+        assert (idx[count:] == -1).all()
+        assert len(set(idx[:count].tolist())) == count
+        # sparser than the input and coarser radius gives fewer samples
+        idx2, count2 = fast_median_radius_subsample(jnp.asarray(pts), 0.6)
+        assert int(count2) <= count <= 120
 
 
 class TestAnchors:
