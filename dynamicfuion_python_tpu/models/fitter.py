@@ -567,10 +567,14 @@ def _data_term_fast(
         [-jc * (flat_w * flat_r) for jc in jflat], axis=-1
     )  # [P*12, 6]
     # one fused MXU reduction for H and g (42 columns); the overflow
-    # segment id n maps to a zero one-hot row and is dropped
-    hg = _segment_sum_mxu(
-        jnp.concatenate([outer36, g_rows], axis=-1), seg, n
-    )
+    # segment id n maps to a zero one-hot row and is dropped. Rows must be
+    # zeroed (not just routed to the overflow segment) first: stage-1 grads
+    # of masked pixels may be non-finite, and inside a matmul NaN*0 = NaN
+    # would poison every segment — unlike scatter segment_sum, which kept
+    # such rows isolated in the dropped overflow bucket
+    hg_rows = jnp.concatenate([outer36, g_rows], axis=-1)
+    hg_rows = jnp.where(slot_ok[:, None], hg_rows, 0.0)
+    hg = _segment_sum_mxu(hg_rows, seg, n)
     h_data = hg[:, :36].reshape(n, 6, 6)
     g_data = hg[:, 36:]
     data_loss = 0.5 * jnp.sum(weight * residuals**2)

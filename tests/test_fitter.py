@@ -286,6 +286,54 @@ class TestDataTermParity:
             np.asarray(h_f), np.asarray(h_a), rtol=1e-4, atol=1e-5
         )
 
+    def test_nan_at_masked_pixels_stays_finite(self):
+        """Regression: masked pixels routinely carry non-finite observed
+        points (invalid depth). The one-hot-matmul assembly must zero those
+        rows BEFORE the MXU reduction — inside a matmul NaN*0 = NaN poisons
+        every node block, which silently invalidated every real-scene solve
+        (valid_solve False on all frames, nothing ever integrated)."""
+        from dynamicfuion_python_tpu.models.fitter import (
+            _data_term_autodiff,
+            _data_term_fast,
+        )
+        from dynamicfuion_python_tpu.ops.normals import mesh_vertex_normals
+        from dynamicfuion_python_tpu.ops.rasterize import (
+            extract_face_vertices,
+            rasterize_binned,
+        )
+
+        rng = np.random.default_rng(11)
+        verts, tris = _plane_mesh(nu=12, nv=12)
+        field = _field_over_mesh(verts, node_stride=12, coverage=0.3)
+        pre = precompute_face_associations(field, verts, tris)
+        normals = mesh_vertex_normals(verts, tris)
+        fv, valid = extract_face_vertices(verts, tris, INTR, (H, W))
+        frag = rasterize_binned(fv, valid, (H, W), faces_per_pixel=1)
+        frag_faces = frag.face_indices[..., 0]
+        ref_pts = jnp.asarray(
+            rng.normal(scale=0.1, size=(H, W, 3)).astype(np.float32)
+        ) + jnp.asarray([0.0, 0.0, 1.0])
+        ref_mask = jnp.asarray(rng.uniform(size=(H, W)) > 0.3)
+        # masked pixels carry NaN, exactly like unprojected zero-depth
+        ref_pts = jnp.where(ref_mask[..., None], ref_pts, jnp.nan)
+        config = FitterConfig()
+        args = (
+            field.virtual_positions(), field.virtual_rotations(),
+            field.virtual_translations(), verts, normals, tris, pre,
+            frag_faces, ref_pts, ref_mask, INTR, config, field.num_nodes,
+        )
+        h_f, g_f, loss_f = _data_term_fast(*args)
+        assert bool(jnp.isfinite(h_f).all())
+        assert bool(jnp.isfinite(g_f).all())
+        assert bool(jnp.isfinite(loss_f))
+        h_a, g_a, loss_a = _data_term_autodiff(*args)
+        np.testing.assert_allclose(
+            np.asarray(g_f), np.asarray(g_a), rtol=1e-4, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(h_f), np.asarray(h_a), rtol=1e-4, atol=1e-5
+        )
+
 
 class TestValidSolveGuard:
     def test_nan_observation_marks_invalid_and_freezes_field(self):
