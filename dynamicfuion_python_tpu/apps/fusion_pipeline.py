@@ -117,6 +117,7 @@ class FusionPipeline:
         a = params.alignment
         self.fitter_config = FitterConfig(
             max_iterations=a.max_iteration_count,
+            min_update_threshold=a.min_update_threshold,
             iteration_modes=(IterationMode.ALL,),
             arap_term_weight=a.arap_term_weight,
             use_tukey_penalty=a.use_tukey_penalty,

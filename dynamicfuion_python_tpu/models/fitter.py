@@ -85,6 +85,13 @@ class FitterConfig:
     levenberg_marquardt_factor: float = flax.struct.field(
         pytree_node=False, default=0.001
     )
+    # convergence early-exit: stop iterating once the largest |delta| entry
+    # falls below this (reference ``minimal_update_threshold = 1e-6``,
+    # ``DeformableMeshToImageFitter.h:35-37`` — its loop is
+    # ``while iter < max && max_update > threshold``). 0 disables.
+    min_update_threshold: float = flax.struct.field(
+        pytree_node=False, default=1e-6
+    )
     max_depth: float = flax.struct.field(pytree_node=False, default=10.0)
     use_regularization: bool = flax.struct.field(pytree_node=False, default=True)
     max_faces_per_bin: int = flax.struct.field(pytree_node=False, default=256)
@@ -625,6 +632,59 @@ def _fit_program(
         else:
             runs.append((mode, 1))
 
+    def step(fld, mode):
+        return _gauss_newton_step_impl(
+            fld,
+            canonical_vertices,
+            canonical_triangles,
+            canonical_normals,
+            pre,
+            reference_points,
+            reference_mask,
+            intrinsics,
+            config,
+            mode,
+            max_deg,
+        )
+
+    if len(runs) == 1 and config.min_update_threshold > 0:
+        # single-mode schedule (the default): convergence-driven
+        # ``lax.while_loop`` — stop as soon as the update stalls, exactly
+        # the reference's ``while iter < max && max_update > threshold``
+        # (``DeformableMeshToImageFitter.cpp:111``). Converged frames pay
+        # for the iterations they use, not the configured maximum.
+        mode, count = runs[0]
+        n_nodes = field.num_nodes
+        dl_a = jnp.zeros((count,), jnp.float32)
+        al_a = jnp.zeros((count,), jnp.float32)
+        tr_a = jnp.zeros((count, n_nodes, 3), jnp.float32)
+        vs_a = jnp.zeros((count,), bool)
+
+        def cond(carry):
+            _, i, max_upd, _ = carry
+            return (i < count) & (max_upd > config.min_update_threshold)
+
+        def body(carry):
+            fld, i, _, (dl, al, tr, vs) = carry
+            new_field, d, a, valid, max_upd = step(fld, mode)
+            out = (
+                dl.at[i].set(d),
+                al.at[i].set(a),
+                tr.at[i].set(new_field.node_translations),
+                vs.at[i].set(valid),
+            )
+            return new_field, i + 1, max_upd, out
+
+        field, n_done, _, (dl_a, al_a, tr_a, vs_a) = jax.lax.while_loop(
+            cond,
+            body,
+            (field, jnp.int32(0), jnp.float32(jnp.inf), (dl_a, al_a, tr_a, vs_a)),
+        )
+        # unexecuted tail slots repeat the last executed iteration so the
+        # ``[-1]`` diagnostics contract (final loss / final validity) holds
+        idx = jnp.minimum(jnp.arange(count), jnp.maximum(n_done - 1, 0))
+        return field, dl_a[idx], al_a[idx], tr_a[idx], vs_a[idx]
+
     data_losses = []
     arap_losses = []
     translations_per_iteration = []
@@ -632,18 +692,8 @@ def _fit_program(
     for mode, count in runs:
 
         def body(carry, _, _mode=mode):
-            new_field, data_loss, arap_loss, valid = _gauss_newton_step_impl(
-                carry,
-                canonical_vertices,
-                canonical_triangles,
-                canonical_normals,
-                pre,
-                reference_points,
-                reference_mask,
-                intrinsics,
-                config,
-                _mode,
-                max_deg,
+            new_field, data_loss, arap_loss, valid, _max_upd = step(
+                carry, _mode
             )
             return new_field, (
                 data_loss,
@@ -887,7 +937,8 @@ def _gauss_newton_step_impl(
 
     field = field.rotate_nodes_virtual(delta[:, :3])
     field = field.translate_nodes_virtual(delta[:, 3:])
-    return field, data_loss, arap_loss, valid_solve
+    max_update = jnp.max(jnp.abs(delta))
+    return field, data_loss, arap_loss, valid_solve, max_update
 
 
 def _warp_vertices(vertices, pos_v, rot_v, trans_v, anchors, weights):

@@ -90,6 +90,10 @@ class AlignmentConfig:
     (``DeformableMeshToImageFitter.h:30-129``)."""
 
     max_iteration_count: int = 6
+    # convergence early-exit: stop GN once max |update| falls below this
+    # (reference ``minimal_update_threshold``,
+    # ``DeformableMeshToImageFitter.h:35-37``); 0 always runs the maximum
+    min_update_threshold: float = 1e-6
     arap_term_weight: float = 20.0
     use_tukey_penalty: bool = False
     tukey_penalty_cutoff: float = 0.01

@@ -335,6 +335,47 @@ class TestDataTermParity:
         )
 
 
+class TestConvergenceEarlyExit:
+    """Reference parity: ``while iter < max && max_update > threshold``
+    (``DeformableMeshToImageFitter.h:35-37``, ``.cpp:111``)."""
+
+    def _problem(self):
+        verts, tris = _plane_mesh(nu=10, nv=10)
+        field = _field_over_mesh(verts, node_stride=10, coverage=0.3)
+        ref_pts, ref_mask = _observed_points_from_transform(
+            verts, tris, jnp.eye(3), jnp.asarray([0.0, 0.0, 0.05])
+        )
+        return field, verts, tris, ref_pts, ref_mask
+
+    def test_huge_threshold_freezes_after_first_iteration(self):
+        field, verts, tris, ref_pts, ref_mask = self._problem()
+        cfg = FitterConfig(max_iterations=5, min_update_threshold=1e9)
+        _, diag = fit_to_image(field, verts, tris, ref_pts, ref_mask, INTR, cfg)
+        dl = np.asarray(diag["data_loss"])
+        # exits after iteration 0; tail slots repeat the last executed one
+        assert len(dl) == 5
+        np.testing.assert_allclose(dl, dl[0])
+        vs = np.asarray(diag["valid_solve"])
+        assert vs.all()
+
+    def test_threshold_zero_matches_scan_path(self):
+        field, verts, tris, ref_pts, ref_mask = self._problem()
+        cfg_loop = FitterConfig(max_iterations=4, min_update_threshold=1e-12)
+        cfg_scan = FitterConfig(max_iterations=4, min_update_threshold=0.0)
+        f1, d1 = fit_to_image(field, verts, tris, ref_pts, ref_mask, INTR, cfg_loop)
+        f2, d2 = fit_to_image(field, verts, tris, ref_pts, ref_mask, INTR, cfg_scan)
+        # a far-from-converged fit never trips a 1e-12 threshold, so the
+        # while_loop path must reproduce the fixed-length scan path exactly
+        np.testing.assert_allclose(
+            np.asarray(f1.node_translations),
+            np.asarray(f2.node_translations),
+            atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(d1["data_loss"]), np.asarray(d2["data_loss"]), atol=1e-6
+        )
+
+
 class TestValidSolveGuard:
     def test_nan_observation_marks_invalid_and_freezes_field(self):
         """Corrupt observations (NaN reference points) must mark every

@@ -30,7 +30,7 @@ class TestDistributedFit:
         pre = precompute_face_associations(field, verts, tris)
         normals = mesh_vertex_normals(verts, tris)
         max_deg = max(1, min(4, field.layer_node_counts[1]))
-        single, d_single, a_single, _ = _gauss_newton_step(
+        single, d_single, a_single, _, _ = _gauss_newton_step(
             field, verts, tris, normals, pre, ref_pts, ref_mask, intr,
             config, IterationMode.ALL, max_deg,
         )
@@ -93,7 +93,7 @@ class TestMultiHost:
         config = FitterConfig(max_iterations=1, use_regularization=True)
         pre = precompute_face_associations(field, verts, tris)
         normals = mesh_vertex_normals(verts, tris)
-        single, d_single, _, _ = _gauss_newton_step(
+        single, d_single, _, _, _ = _gauss_newton_step(
             field, verts, tris, normals, pre, ref_pts, ref_mask, intr,
             config, IterationMode.ALL, _max_wing_degree(field),
         )
