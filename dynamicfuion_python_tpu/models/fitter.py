@@ -100,6 +100,19 @@ class FitterConfig:
     # optimized analytic path is pinned against); True is ~20x faster on TPU
     # ([P, c]-shaped intermediates instead of [P, 12, 3, 3] tiles).
     use_fast_data_term: bool = flax.struct.field(pytree_node=False, default=True)
+    # data-term implementation: "face" (face-major tables + covered-pixel
+    # compaction — same math as "fast", ~4x less gather traffic on TPU),
+    # "fast" (pixel-major analytic), "autodiff" (vmapped-jacrev oracle).
+    # ``use_fast_data_term=False`` still forces the autodiff oracle.
+    data_term_impl: str = flax.struct.field(pytree_node=False, default="face")
+    # covered-pixel compaction: per-pixel data-term stages run on the first
+    # ``ceil(H*W*fraction)`` rasterized+valid pixels instead of all H*W
+    # (TPU gathers dominate the data term; typical depth-fit coverage is
+    # 20-50%). Pixels beyond the cap are dropped from the normal equations
+    # (graceful GN degradation). 0 disables compaction.
+    pixel_compaction_fraction: float = flax.struct.field(
+        pytree_node=False, default=0.6
+    )
     # Row-sum "lumping" of the data-term Hessian diagonal blocks. The
     # reference keeps only the block-diagonal of J^T J
     # (``ComputeDepthHessianApproximationBlocks_UnorderedNodePixels``), which
@@ -588,6 +601,209 @@ def _data_term_fast(
     return h_data, g_data, data_loss
 
 
+def _assemble_hg_onehot(
+    values_cr: jnp.ndarray, seg: jnp.ndarray, num_segments: int
+) -> jnp.ndarray:
+    """Single-shot one-hot MXU segment sum (no scan): rows whose segment id
+    falls outside [0, num_segments) get an all-zero one-hot row and drop
+    out. ``values_cr`` is [C, R] (row dim LAST): with R on the lane axis
+    both operands tile perfectly — a [R, C] layout would pad the small C to
+    128 lanes and multiply HBM traffic ~10x."""
+    ids = jnp.arange(num_segments, dtype=seg.dtype)
+    onehot = (seg[None, :] == ids[:, None]).astype(values_cr.dtype)  # [n, R]
+    return jnp.einsum("cm,nm->nc", values_cr, onehot, precision=_P)
+
+
+def _data_term_face(
+    pos_v,  # f32[N, 3] virtual node positions
+    rot_v,  # f32[N, 3, 3]
+    trans_v,  # f32[N, 3]
+    canonical_vertices,  # f32[V, 3]
+    canonical_normals,  # f32[V, 3]
+    canonical_triangles,  # int32[F, 3]
+    pre: FacePrecompute,
+    frag_faces,  # int32[H, W] fragment face indices (-1 = miss)
+    reference_points,  # f32[H, W, 3]
+    reference_mask,  # bool[H, W]
+    intrinsics,
+    config: FitterConfig,
+    num_nodes: int,
+):
+    """Face-major data term: same math as ``_data_term_fast``, restructured
+    for TPU gather economics. The per-(vertex, anchor) warp quantities
+    (rotated offsets/normals, warped positions) depend only on the FACE, so
+    they are computed once per face (F rows ~ P/10) and fetched per pixel
+    with ONE wide [P, 128] row gather instead of ~12 narrow per-pixel
+    gathers. Per-pixel stages then run on the COMPACTED covered-pixel set
+    (``pixel_compaction_fraction``); assembly is a single one-hot MXU
+    matmul. Pinned against ``_data_term_fast`` by parity test."""
+    h, w = reference_mask.shape
+    n = num_nodes
+    f_count = canonical_triangles.shape[0]
+    tri_flat = canonical_triangles.reshape(-1)
+
+    # ---- face-level tables (F*12 pair rows) -------------------------------
+    slot_map = pre.slot_of_vertex_anchor.reshape(f_count, 12)
+    va_w = pre.weights[tri_flat].reshape(f_count, 12)
+    wgt_f = jnp.where(slot_map >= 0, va_w, 0.0)
+    sid_f = jnp.maximum(slot_map, 0)
+    nid_f = jnp.maximum(
+        jnp.take_along_axis(pre.face_nodes, sid_f, axis=1), 0
+    )
+    nid_flat = nid_f.reshape(-1)
+    r9 = rot_v.reshape(-1, 9)[nid_flat]  # [F*12, 9]
+    g3 = pos_v[nid_flat]  # [F*12, 3]
+    t3 = trans_v[nid_flat]  # [F*12, 3]
+    vpos = canonical_vertices[tri_flat].reshape(f_count, 3, 3)
+    vnrm = canonical_normals[tri_flat].reshape(f_count, 3, 3)
+    vx = jnp.repeat(vpos, 4, axis=1).reshape(-1, 3)  # [F*12, 3]
+    vn = jnp.repeat(vnrm, 4, axis=1).reshape(-1, 3)
+    ox = vx[:, 0] - g3[:, 0]
+    oy = vx[:, 1] - g3[:, 1]
+    oz = vx[:, 2] - g3[:, 2]
+    rox = r9[:, 0] * ox + r9[:, 1] * oy + r9[:, 2] * oz
+    roy = r9[:, 3] * ox + r9[:, 4] * oy + r9[:, 5] * oz
+    roz = r9[:, 6] * ox + r9[:, 7] * oy + r9[:, 8] * oz
+    rnx = r9[:, 0] * vn[:, 0] + r9[:, 1] * vn[:, 1] + r9[:, 2] * vn[:, 2]
+    rny = r9[:, 3] * vn[:, 0] + r9[:, 4] * vn[:, 1] + r9[:, 5] * vn[:, 2]
+    rnz = r9[:, 6] * vn[:, 0] + r9[:, 7] * vn[:, 1] + r9[:, 8] * vn[:, 2]
+    wf = wgt_f.reshape(-1)
+    wvx = wf * (g3[:, 0] + rox + t3[:, 0])
+    wvy = wf * (g3[:, 1] + roy + t3[:, 1])
+    wvz = wf * (g3[:, 2] + roz + t3[:, 2])
+    wnx = wf * rnx
+    wny = wf * rny
+    wnz = wf * rnz
+    # sum the 4 anchors of each vertex -> warped verts/normals [F, 3, 3]
+    wv = (
+        jnp.stack([wvx, wvy, wvz], axis=-1)
+        .reshape(f_count, 3, 4, 3)
+        .sum(axis=2)
+    )
+    wn = (
+        jnp.stack([wnx, wny, wnz], axis=-1)
+        .reshape(f_count, 3, 4, 3)
+        .sum(axis=2)
+    )
+    warped18_f = jnp.concatenate(
+        [wv.reshape(f_count, 9), wn.reshape(f_count, 9)], axis=1
+    )
+    rot_off_f = jnp.stack([rox, roy, roz], axis=-1).reshape(f_count, 36)
+    rot_nrm_f = jnp.stack([rnx, rny, rnz], axis=-1).reshape(f_count, 36)
+    blob = jnp.concatenate(
+        [
+            warped18_f,  # [:, 0:18]
+            rot_off_f,  # [:, 18:54] pair-major xyz
+            rot_nrm_f,  # [:, 54:90]
+            wgt_f,  # [:, 90:102]
+            jax.lax.bitcast_convert_type(sid_f, jnp.float32),  # 102:114
+            jax.lax.bitcast_convert_type(
+                pre.face_nodes, jnp.float32
+            ),  # 114:126 per-SLOT node ids (-1 pad)
+            jnp.zeros((f_count, 2), jnp.float32),
+        ],
+        axis=1,
+    )  # [F, 128]
+
+    # ---- covered-pixel compaction ----------------------------------------
+    pix_face = frag_faces.reshape(-1)
+    pix_ok = (pix_face >= 0) & reference_mask.reshape(-1)
+    total = pix_face.shape[0]
+    frac = config.pixel_compaction_fraction
+    if frac and frac > 0 and frac < 1.0:
+        cap = min(total, ((int(total * frac) + 1023) // 1024) * 1024)
+        (idx,) = jnp.nonzero(pix_ok, size=cap, fill_value=0)
+        ok = jnp.arange(cap) < jnp.sum(pix_ok)
+        pface = jnp.where(ok, pix_face[idx], 0)
+    else:
+        cap = total
+        idx = jnp.arange(total)
+        ok = pix_ok
+        pface = pix_face
+    safe_face = jnp.maximum(pface, 0)
+    bp = blob[safe_face]  # [cap, 128] single wide row gather
+    ref_pts = reference_points.reshape(-1, 3)[idx]
+    px = (idx % w).astype(jnp.float32)
+    py = (idx // w).astype(jnp.float32)
+
+    residuals, grad18 = _stage1_value_and_grad(
+        bp[:, :18], px, py, ref_pts, intrinsics
+    )
+
+    # ---- stage 3 chain rule on compacted pixels ---------------------------
+    sid_p = jax.lax.bitcast_convert_type(bp[:, 102:114], jnp.int32)
+    lane12 = jnp.arange(12, dtype=jnp.int32)
+    jac = [jnp.zeros((cap, 12), jnp.float32) for _ in range(6)]
+    for i in range(3):
+        gwx = grad18[:, 3 * i + 0]
+        gwy = grad18[:, 3 * i + 1]
+        gwz = grad18[:, 3 * i + 2]
+        gmx = grad18[:, 9 + 3 * i + 0]
+        gmy = grad18[:, 9 + 3 * i + 1]
+        gmz = grad18[:, 9 + 3 * i + 2]
+        for k in range(4):
+            pair = i * 4 + k
+            wgt = bp[:, 90 + pair]
+            rx = bp[:, 18 + 3 * pair]
+            ry = bp[:, 19 + 3 * pair]
+            rz = bp[:, 20 + 3 * pair]
+            sx = bp[:, 54 + 3 * pair]
+            sy = bp[:, 55 + 3 * pair]
+            sz = bp[:, 56 + 3 * pair]
+            jr0 = -wgt * ((gwy * rz - gwz * ry) + (gmy * sz - gmz * sy))
+            jr1 = -wgt * ((gwz * rx - gwx * rz) + (gmz * sx - gmx * sz))
+            jr2 = -wgt * ((gwx * ry - gwy * rx) + (gmx * sy - gmy * sx))
+            jt0 = wgt * gwx
+            jt1 = wgt * gwy
+            jt2 = wgt * gwz
+            onehot = (sid_p[:, pair : pair + 1] == lane12[None, :]).astype(
+                jnp.float32
+            )
+            for c, val in enumerate((jr0, jr1, jr2, jt0, jt1, jt2)):
+                jac[c] = jac[c] + onehot * val[:, None]
+
+    # ---- robust weights + assembly ---------------------------------------
+    residuals = jnp.where(ok, residuals, 0.0)
+    if config.use_tukey_penalty:
+        c_t = config.tukey_cutoff
+        tw = jnp.where(
+            jnp.abs(residuals) < c_t, (1.0 - (residuals / c_t) ** 2) ** 2, 0.0
+        )
+    else:
+        tw = jnp.ones_like(residuals)
+    weight = jnp.where(ok, tw, 0.0)
+
+    flat_nodes = jax.lax.bitcast_convert_type(
+        bp[:, 114:126], jnp.int32
+    ).reshape(-1)
+    flat_w = jnp.repeat(weight, 12)
+    flat_r = jnp.repeat(residuals, 12)
+    slot_ok = (flat_nodes >= 0) & (flat_w > 0)
+    seg = jnp.where(slot_ok, flat_nodes, n)
+    # [R]-shaped columns throughout: any [R, c]-shaped intermediate with
+    # small trailing c pads c to 128 lanes on TPU and multiplies HBM traffic
+    jflat = [jc.reshape(-1) for jc in jac]  # 6 x [R]
+    if config.lump_data_hessian:
+        w_eff = jnp.sqrt(jflat[3] ** 2 + jflat[4] ** 2 + jflat[5] ** 2)
+        lump = 1.0 / jnp.maximum(w_eff, 1e-3)
+    else:
+        lump = jnp.ones_like(jflat[0])
+    scale = jnp.where(slot_ok, lump * flat_w, 0.0)
+    # masked pixels may carry non-finite stage-1 grads: zero the J factor
+    # itself (NaN * 0 = NaN would otherwise poison the one-hot matmul)
+    jsafe = [jnp.where(slot_ok, jc, 0.0) for jc in jflat]
+    gw = jnp.where(slot_ok, flat_w * flat_r, 0.0)
+    rows = [
+        jsafe[a] * jsafe[b] * scale for a in range(6) for b in range(6)
+    ] + [-jc * gw for jc in jsafe]
+    hg_rows = jnp.stack(rows, axis=0)  # [42, R] — R on the lane axis
+    hg = _assemble_hg_onehot(hg_rows, seg, n)
+    h_data = hg[:, :36].reshape(n, 6, 6)
+    g_data = hg[:, 36:]
+    data_loss = 0.5 * jnp.sum(weight * residuals**2)
+    return h_data, g_data, data_loss
+
+
 def _max_wing_degree(field: HierarchicalGraphWarpField) -> int:
     return max(
         1,
@@ -801,7 +1017,26 @@ def _gauss_newton_step_impl(
     )
     frag_faces = jax.lax.stop_gradient(frag.face_indices[..., 0])  # [H, W]
 
-    if config.use_fast_data_term:
+    impl = (
+        config.data_term_impl if config.use_fast_data_term else "autodiff"
+    ) or "fast"
+    if impl == "face":
+        h_data, g_data, data_loss = _data_term_face(
+            pos_v,
+            rot_v,
+            trans_v,
+            canonical_vertices,
+            canonical_normals,
+            canonical_triangles,
+            pre,
+            frag_faces,
+            reference_points,
+            reference_mask,
+            intrinsics,
+            config,
+            n,
+        )
+    elif impl == "fast":
         h_data, g_data, data_loss = _data_term_fast(
             pos_v,
             rot_v,

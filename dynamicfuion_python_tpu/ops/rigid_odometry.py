@@ -48,15 +48,31 @@ def _icp_level(
     transform,
     iterations: int,
     distance_threshold: float,
+    update_threshold: float = 1e-7,
 ):
     h, w = source_mask.shape
     fx, fy = intrinsics[0, 0], intrinsics[1, 1]
     cx, cy = intrinsics[0, 2], intrinsics[1, 2]
     src = source_points.reshape(-1, 3)
     src_ok = source_mask.reshape(-1)
+    # pack target point/normal/mask into ONE 8-wide row table: projective
+    # association then costs a single row gather per iteration instead of
+    # three narrow ones (TPU gathers are per-op latency-bound)
+    t_valid = target_mask & (
+        jnp.linalg.norm(target_normals, axis=-1) > 0.1
+    )
+    target_tbl = jnp.concatenate(
+        [
+            target_points.reshape(-1, 3),
+            target_normals.reshape(-1, 3),
+            t_valid.reshape(-1, 1).astype(jnp.float32),
+            jnp.zeros((h * w, 1), jnp.float32),
+        ],
+        axis=1,
+    )
 
-    def body(carry, _):
-        t_mat = carry
+    def body(carry):
+        t_mat, _, i, _ = carry
         rot = t_mat[:3, :3]
         tr = t_mat[:3, 3]
         moved = src @ rot.T + tr
@@ -64,11 +80,11 @@ def _icp_level(
         u = jnp.round(moved[:, 0] / z * fx + cx).astype(jnp.int32)
         v = jnp.round(moved[:, 1] / z * fy + cy).astype(jnp.int32)
         inb = (u >= 0) & (u < w) & (v >= 0) & (v < h) & (moved[:, 2] > 0)
-        us = jnp.clip(u, 0, w - 1)
-        vs = jnp.clip(v, 0, h - 1)
-        q = target_points[vs, us]
-        n = target_normals[vs, us]
-        t_ok = target_mask[vs, us] & (jnp.linalg.norm(n, axis=-1) > 0.1)
+        flat = jnp.clip(v, 0, h - 1) * w + jnp.clip(u, 0, w - 1)
+        row = target_tbl[flat]  # [P, 8]
+        q = row[:, 0:3]
+        n = row[:, 3:6]
+        t_ok = row[:, 6] > 0.5
         diff = moved - q
         r = jnp.sum(n * diff, axis=-1)
         ok = (
@@ -91,10 +107,18 @@ def _icp_level(
         new_tr = d_rot @ tr + delta[3:]
         new_t = jnp.eye(4).at[:3, :3].set(new_rot).at[:3, 3].set(new_tr)
         rmse = jnp.sqrt(jnp.sum(wgt * r * r) / jnp.maximum(jnp.sum(wgt), 1.0))
-        return new_t, rmse
+        return new_t, rmse, i + 1, jnp.max(jnp.abs(delta))
 
-    transform, rmses = jax.lax.scan(body, transform, None, length=iterations)
-    return transform, rmses
+    def cond(carry):
+        _, _, i, max_upd = carry
+        return (i < iterations) & (max_upd > update_threshold)
+
+    transform, rmse, _, _ = jax.lax.while_loop(
+        cond,
+        body,
+        (transform, jnp.float32(0.0), jnp.int32(0), jnp.float32(jnp.inf)),
+    )
+    return transform, rmse
 
 
 @functools.partial(
@@ -125,9 +149,8 @@ def rigid_odometry_multi_scale(
         sp, sm = unproject_depth_image(sd, intr, depth_scale, depth_max)
         tp, tm = unproject_depth_image(td, intr, depth_scale, depth_max)
         tn = point_image_normals(tp)
-        transform, rmses = _icp_level(
+        transform, rmse = _icp_level(
             sp, sm, tp, tn, tm, intr, transform,
             iterations_per_level, distance_threshold,
         )
-        rmse = rmses[-1]
     return transform, rmse

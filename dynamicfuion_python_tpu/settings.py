@@ -139,6 +139,11 @@ class FusionConfig:
     # tracking as prior/bootstrap initializing node transforms each frame)
     use_neural_prior: bool = False
     prior_checkpoint: str = ""
+    # fetch per-frame scalar metrics synchronously (one device->host round
+    # trip per frame). False keeps them on device: ``process_frame`` returns
+    # jax arrays and the caller resolves them (``resolve_frame_metrics``)
+    # when convenient — the streaming loop then never blocks on the tunnel.
+    sync_frame_metrics: bool = True
 
 
 @config_node
