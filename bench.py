@@ -106,6 +106,18 @@ def bench_raster():
     return dt_ms
 
 
+def bench_raster_indexed():
+    """The reference's 64-bunny timing starts from an INDEXED mesh
+    (``cpp/tests/test_rasterize.cpp:362-373``); the soup fast path is
+    legitimate for the fusion pipeline (extraction emits soup) but the
+    apples-to-apples comparison includes the face-vertex expansion."""
+    sys.path.insert(0, "benchmarks")
+    from bench_rasterizer import run as raster_run
+
+    dt_ms, _ = raster_run(iters=10, method="splat-indexed")
+    return dt_ms
+
+
 def bench_fusion(frames=30, size=(240, 320), max_triangles=16384, warmup=5):
     import jax
 
@@ -199,6 +211,15 @@ def main():
             )
         except Exception as exc:
             print(f"raster bench failed: {exc}", file=sys.stderr)
+        try:
+            extras["raster_4m45_indexed_ms"] = round(bench_raster_indexed(), 2)
+            print(
+                f"rasterizer (indexed mesh) 4.45M tris: "
+                f"{extras['raster_4m45_indexed_ms']:.1f} ms",
+                file=sys.stderr,
+            )
+        except Exception as exc:
+            print(f"indexed raster bench failed: {exc}", file=sys.stderr)
     if not os.environ.get("BENCH_SKIP_FUSION"):
         try:
             extras["fusion_fps"] = round(bench_fusion(), 3)
@@ -239,9 +260,16 @@ def _write_bench_md(line):
         ]
         if "raster_4m45_ms" in extras:
             rows.append(
-                f"| rasterize 4.45M tris @480x640 | {extras['raster_4m45_ms']} ms "
+                f"| rasterize 4.45M tris @480x640 (soup) | {extras['raster_4m45_ms']} ms "
                 f"| 77 ms (README.md:21-23) | "
                 f"{round(77.0 / extras['raster_4m45_ms'], 2)}x |"
+            )
+        if "raster_4m45_indexed_ms" in extras:
+            rows.append(
+                f"| rasterize 4.45M tris @480x640 (indexed mesh, reference "
+                f"test config) | {extras['raster_4m45_indexed_ms']} ms "
+                f"| 77 ms | "
+                f"{round(77.0 / extras['raster_4m45_indexed_ms'], 2)}x |"
             )
         if "fusion_fps" in extras:
             rows.append(

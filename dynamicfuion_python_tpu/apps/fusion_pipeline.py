@@ -123,7 +123,7 @@ class FusionPipeline:
         self.fitter_config = FitterConfig(
             max_iterations=a.max_iteration_count,
             min_update_threshold=a.min_update_threshold,
-            iteration_modes=(IterationMode.ALL,),
+            iteration_modes=_parse_iteration_modes(a.iteration_modes),
             arap_term_weight=a.arap_term_weight,
             use_tukey_penalty=a.use_tukey_penalty,
             tukey_cutoff=a.tukey_penalty_cutoff,
@@ -132,6 +132,10 @@ class FusionPipeline:
             levenberg_marquardt_factor=a.levenberg_marquardt_factor,
             max_depth=a.max_depth,
             use_regularization=a.use_regularization,
+            lump_data_hessian=a.lump_data_hessian,
+            valid_solve_rotation_limit=a.valid_solve_rotation_limit,
+            valid_solve_translation_limit=a.valid_solve_translation_limit,
+            valid_solve_residual_tolerance=a.valid_solve_residual_tolerance,
         )
 
     # -- first frame ---------------------------------------------------------
@@ -718,6 +722,25 @@ class FusionPipeline:
         return warped[faces]
 
 
+def _parse_iteration_modes(spec: str) -> tuple:
+    """Parse the ``alignment.iteration_modes`` schedule string ("all",
+    "translation_only,all", ...) into an ``IterationMode`` tuple (cycled
+    over the iteration count, reference ``iteration_mode_sequence``)."""
+    out = []
+    for token in spec.split(","):
+        token = token.strip().upper()
+        if not token:
+            continue
+        try:
+            out.append(IterationMode[token])
+        except KeyError:
+            raise ValueError(
+                f"unknown alignment.iteration_modes entry {token!r}; "
+                f"expected one of {[m.name.lower() for m in IterationMode]}"
+            ) from None
+    return tuple(out) or (IterationMode.ALL,)
+
+
 def resolve_frame_metrics(metrics: dict) -> dict:
     """Materialize a (possibly device-resident) ``process_frame`` metrics
     dict into plain Python scalars/lists. Safe on already-resolved dicts."""
@@ -916,10 +939,21 @@ def run_fusion(
     pipeline.telemetry = telemetry
     resume_after = -1
     if resume and checkpoint_dir is not None:
-        volume, field, resume_after = load_fusion_checkpoint(checkpoint_dir)
+        volume, field, resume_after, mesh_state = load_fusion_checkpoint(
+            checkpoint_dir
+        )
         pipeline.volume = volume
         pipeline.warp_field = field
-        pipeline._refresh_canonical_mesh(sync=True)
+        if mesh_state is not None:
+            # restore the capacity buckets + lagged counts so the resumed
+            # run's static shapes (and thus its math) exactly reproduce the
+            # uninterrupted run
+            pipeline._mesh_v_cap = int(mesh_state["v_cap"])
+            pipeline._mesh_t_cap = int(mesh_state["t_cap"])
+            pipeline._count_host = tuple(mesh_state["count_host"])
+            pipeline._refresh_canonical_mesh()
+        else:
+            pipeline._refresh_canonical_mesh(sync=True)
     first = resume_after < 0
     for frame in sequence:
         if frame.index <= resume_after:
@@ -951,7 +985,15 @@ def run_fusion(
             and (frame.index + 1) % checkpoint_every == 0
         ):
             save_fusion_checkpoint(
-                checkpoint_dir, pipeline.volume, pipeline.warp_field, frame.index
+                checkpoint_dir,
+                pipeline.volume,
+                pipeline.warp_field,
+                frame.index,
+                mesh_state={
+                    "v_cap": pipeline._mesh_v_cap,
+                    "t_cap": pipeline._mesh_t_cap,
+                    "count_host": list(pipeline._count_host),
+                },
             )
     summary = telemetry.finish()
     return FusionResult(

@@ -301,6 +301,9 @@ def train(
     use_lr_scheduler: bool = True,
     step_lr: int = 1000,
     training_config=None,
+    labeled: bool = False,
+    labels_filename: str = "train",
+    val_labels_filename: str = "val",
 ):
     """``training_config`` (settings.TrainingConfig) supplies the reference
     defaults (batch size, lr, SGD momentum, weight decay, Adam toggle, match
@@ -317,21 +320,47 @@ def train(
     weight_decay = cfg.weight_decay
     gn_max_matches_train = cfg.gn_max_matches_train
     shuffle = cfg.shuffle
-    dataset = DeformDataset(
-        Path(data_root) / "train", max_nodes=max_nodes, image_size=image_size,
-        node_coverage=node_coverage
-    )
-    if len(dataset) == 0:
-        raise ValueError(f"no labeled pairs under {data_root}/train")
-    try:
-        val_dataset = DeformDataset(
-            Path(data_root) / "val", max_nodes=max_nodes,
+    if labeled:
+        # the reference's PRIMARY training path: a labels JSON listing
+        # precomputed graph-blob pairs (reference ``apps/train.py:162-198``
+        # over ``data/deform_dataset.py:18-300``)
+        from dynamicfuion_python_tpu.data.deform_dataset import (
+            LabeledDeformDataset,
+        )
+
+        size = tuple(image_size) if image_size is not None else (448, 640)
+        dataset = LabeledDeformDataset(
+            data_root, labels_filename, input_size=size, max_nodes=max_nodes
+        )
+        if len(dataset) == 0:
+            raise ValueError(
+                f"no pairs listed in {data_root}/{labels_filename}.json"
+            )
+        try:
+            val_dataset = LabeledDeformDataset(
+                data_root, val_labels_filename, input_size=size,
+                max_nodes=max_nodes,
+            )
+            if len(val_dataset) == 0:
+                val_dataset = dataset
+        except FileNotFoundError:
+            val_dataset = dataset
+    else:
+        dataset = DeformDataset(
+            Path(data_root) / "train", max_nodes=max_nodes,
             image_size=image_size, node_coverage=node_coverage,
         )
-        if len(val_dataset) == 0:
+        if len(dataset) == 0:
+            raise ValueError(f"no labeled pairs under {data_root}/train")
+        try:
+            val_dataset = DeformDataset(
+                Path(data_root) / "val", max_nodes=max_nodes,
+                image_size=image_size, node_coverage=node_coverage,
+            )
+            if len(val_dataset) == 0:
+                val_dataset = dataset
+        except (FileNotFoundError, ValueError):
             val_dataset = dataset
-    except (FileNotFoundError, ValueError):
-        val_dataset = dataset
     stage_cfg = STAGES[stage]
     weights = stage_cfg.weights
 
@@ -396,20 +425,25 @@ def train(
             compute_boundary_mask,
         )
 
-        target_z = batch["target"][..., 5]
-        batch["target_boundary_mask"] = np.stack(
-            [
-                np.asarray(compute_boundary_mask(jnp.asarray(z), 0.1))
-                for z in target_z
-            ]
-        )
+        if "target_boundary_mask" not in batch:
+            # labeled datasets ship the (point-distance) boundary mask with
+            # the pair; the on-the-fly path derives a depth-step one here
+            target_z = batch["target"][..., 5]
+            batch["target_boundary_mask"] = np.stack(
+                [
+                    np.asarray(compute_boundary_mask(jnp.asarray(z), 0.1))
+                    for z in target_z
+                ]
+            )
         # per-batch uniforms for the gn_max_matches random subsampling
         batch["match_subsample_uniforms"] = np_rng.uniform(
             size=batch["target"].shape[:3]
         ).astype(np.float32)
         return {k: jnp.asarray(v) for k, v in batch.items()}
 
-    for it in range(iterations):
+    it = 0
+    try:
+      for it in range(iterations):
         if shuffle:
             idx = np_rng.choice(
                 len(dataset), size=min(batch_size, len(dataset)),
@@ -449,6 +483,12 @@ def train(
         if time.time() - last_save > 300 or it == iterations - 1:
             save_checkpoint(ckpt_dir, params, opt_state, it)
             last_save = time.time()
+    except (KeyboardInterrupt, ConnectionResetError):
+        # interrupt-save (reference ``apps/train.py:466-469``): a killed
+        # 30k-iteration stage still leaves a final snapshot on disk
+        save_checkpoint(ckpt_dir, params, opt_state, it)
+        print(f"interrupted at iteration {it}: snapshot saved", flush=True)
+        raise
     if eval_history:
         (ckpt_dir / "eval_history.json").write_text(
             json.dumps(eval_history, indent=1)
@@ -482,6 +522,8 @@ def main(argv=None):
     for arg in it:
         if arg == "--data":
             kwargs["data_root"] = next(it)
+        elif arg == "--labeled":
+            kwargs["labeled"] = True
         elif arg == "--stage":
             kwargs["stage"] = next(it)
         elif arg == "--platform":
@@ -493,7 +535,10 @@ def main(argv=None):
             key, val = arg.split("=", 1)
             key = key.lstrip("-")
             int_keys = {"batch_size", "iterations", "max_nodes", "eval_every", "seed"}
-            str_keys = {"checkpoint_dir", "stage", "data_root"}
+            str_keys = {
+                "checkpoint_dir", "stage", "data_root",
+                "labels_filename", "val_labels_filename",
+            }
             if key in int_keys:
                 kwargs[key] = int(val)
             elif key in str_keys:

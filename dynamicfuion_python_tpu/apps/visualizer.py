@@ -14,6 +14,7 @@ Run: python -m dynamicfuion_python_tpu.apps.visualizer --run <telemetry_dir> \
 
 from __future__ import annotations
 
+import json
 import sys
 from pathlib import Path
 
@@ -91,9 +92,90 @@ def render_run(
     return written
 
 
+def render_gn_playback(
+    run_dir: str | Path,
+    out_dir: str | Path | None = None,
+    image_size=(360, 480),
+    point_px: int = 2,
+):
+    """Per-GN-iteration playback (the reference visualizer's keyboard-driven
+    iteration stepping, ``apps/visualizer/app.py:379``): for every
+    ``*_gn_iterations.npz`` telemetry record, splat the warped node cloud of
+    each iteration to a PNG annotated with its losses and emit a
+    ``gn_playback.html`` that steps through iterations with the arrow keys.
+    """
+    run_dir = Path(run_dir)
+    out = Path(out_dir) if out_dir else run_dir / "gn_playback"
+    out.mkdir(parents=True, exist_ok=True)
+    from PIL import Image, ImageDraw
+
+    h, w = image_size
+    frames: dict[str, list[str]] = {}
+    for npz_path in sorted(run_dir.glob("*_gn_iterations.npz")):
+        rec = np.load(npz_path)
+        if "node_translations" not in rec or "node_positions" not in rec:
+            continue
+        positions = rec["node_positions"]  # [N, 3] canonical
+        translations = rec["node_translations"]  # [I, N, 3]
+        data_losses = rec["data_losses"]
+        arap_losses = rec["arap_losses"]
+        frame_name = npz_path.stem.split("_")[0]
+        # shared orthographic framing across the frame's iterations
+        all_pts = positions[None] + translations
+        lo = all_pts.reshape(-1, 3).min(axis=0)
+        hi = all_pts.reshape(-1, 3).max(axis=0)
+        span = np.maximum(hi - lo, 1e-6)
+        names = []
+        for i in range(translations.shape[0]):
+            pts = positions + translations[i]
+            u = ((pts[:, 0] - lo[0]) / span[0] * (w - 20) + 10).astype(int)
+            v = ((pts[:, 1] - lo[1]) / span[1] * (h - 20) + 10).astype(int)
+            depth01 = (pts[:, 2] - lo[2]) / span[2]
+            img = Image.new("RGB", (w, h), (20, 20, 24))
+            draw = ImageDraw.Draw(img)
+            for x, y, d in zip(u, v, depth01):
+                c = int(80 + 175 * (1 - d))
+                draw.ellipse(
+                    (x - point_px, y - point_px, x + point_px, y + point_px),
+                    fill=(c, int(0.6 * c), 255 - c),
+                )
+            draw.text(
+                (8, 4),
+                f"frame {frame_name} GN iter {i}: data "
+                f"{float(data_losses[i]):.5f} arap "
+                f"{float(arap_losses[i]):.5f}",
+                fill=(220, 220, 220),
+            )
+            name = f"{frame_name}_gn_iter_{i:02d}.png"
+            img.save(out / name)
+            names.append(name)
+        if names:
+            frames[frame_name] = names
+    groups = json.dumps(frames)
+    html = (
+        "<html><body style='background:#111;color:#ccc;font-family:monospace'>"
+        "<div id='label'></div><img id='view' style='width:640px'/>"
+        "<p>left/right: GN iteration &nbsp; up/down: frame</p>"
+        f"<script>const groups={groups};"
+        "const keys=Object.keys(groups);let f=0,i=0;"
+        "function show(){const g=groups[keys[f]];i=Math.max(0,Math.min(i,"
+        "g.length-1));document.getElementById('view').src=g[i];"
+        "document.getElementById('label').textContent="
+        "`frame ${keys[f]} iter ${i+1}/${g.length}`;}"
+        "document.addEventListener('keydown',e=>{"
+        "if(e.key==='ArrowRight')i++;if(e.key==='ArrowLeft')i--;"
+        "if(e.key==='ArrowUp'){f=Math.min(f+1,keys.length-1);i=0;}"
+        "if(e.key==='ArrowDown'){f=Math.max(f-1,0);i=0;}show();});"
+        "if(keys.length)show();</script></body></html>"
+    )
+    (out / "gn_playback.html").write_text(html)
+    return frames
+
+
 def main(argv=None):
     argv = sys.argv[1:] if argv is None else argv
     kwargs = {}
+    gn_playback = False
     it = iter(argv)
     for arg in it:
         if arg == "--run":
@@ -105,10 +187,20 @@ def main(argv=None):
             kwargs["image_size"] = (int(h), int(w))
         elif arg == "--orbit-degrees":
             kwargs["orbit_degrees"] = float(next(it))
+        elif arg == "--gn-playback":
+            gn_playback = True
         elif arg == "--platform":
             import jax
 
             jax.config.update("jax_platforms", next(it))
+    if gn_playback:
+        kwargs.pop("orbit_degrees", None)
+        frames = render_gn_playback(**kwargs)
+        print(
+            f"gn playback: {sum(len(v) for v in frames.values())} iteration"
+            f" renders across {len(frames)} frames"
+        )
+        return
     written = render_run(**kwargs)
     print(f"rendered {len(written)} images")
 

@@ -81,10 +81,19 @@ class FrameSequenceDataset:
         graph_dir = self.directory / "graph_nodes"
         if not graph_dir.is_dir():
             return None
+        # blobs are named by the SOURCE FRAME NUMBER in the original capture
+        # (e.g. ``..._000300_000600_geodesic_0.05.bin`` for a sequence whose
+        # first shipped depth image is 000300.png), so match both the
+        # positional index and the depth filename's number
+        accept = {index}
+        if index < len(self.depth_paths):
+            stem = self.depth_paths[index].stem
+            if stem.isdigit():
+                accept.add(int(stem))
         for path in sorted(graph_dir.glob("*_geodesic_*.bin")):
             pair, _, coverage = path.stem.rpartition("_geodesic_")
             numeric = [int(p) for p in pair.split("_") if p.isdigit()]
-            if numeric and numeric[0] == index:
+            if numeric and numeric[0] in accept:
                 return load_graph_data(self.directory, pair, float(coverage))
         return None
 

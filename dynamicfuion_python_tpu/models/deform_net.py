@@ -317,6 +317,32 @@ def track_from_flow(
     }
 
 
+def patchwise_threshold(mask_weights: jnp.ndarray, patch_size: int):
+    """Keep only each ``patch_size``-square's maximum weight, zeroing the
+    rest (reference ``patchwise_threshold_mask_predictions``,
+    ``alignment/deform_net.py:707-717``: max_pool -> nearest-upsample ->
+    ``|x - pooled| <= 1e-8`` selector). ``mask_weights``: f32[B, H, W].
+    Remainder rows/cols of non-divisible images are zeroed (our alignment
+    sizes are multiples of 64 so this never triggers in practice)."""
+    ps = patch_size
+    bsz, mh, mw = mask_weights.shape
+    hp = mh // ps * ps
+    wp = mw // ps * ps
+    pooled = (
+        mask_weights[:, :hp, :wp]
+        .reshape(bsz, hp // ps, ps, wp // ps, ps)
+        .max(axis=(2, 4))
+    )
+    up = jnp.repeat(jnp.repeat(pooled, ps, axis=1), ps, axis=2)
+    up = jnp.pad(
+        up,
+        ((0, 0), (0, mh - hp), (0, mw - wp)),
+        constant_values=jnp.inf,
+    )
+    selected = jnp.abs(mask_weights - up) <= 1e-8
+    return jnp.where(selected, mask_weights, 0.0)
+
+
 class DeformNet(nn.Module):
     """Flax module bundling PWC-Net + MaskNet + the GN solver."""
 
@@ -327,6 +353,12 @@ class DeformNet(nn.Module):
     mask_threshold: float = 0.35  # eval-time hard threshold (reference
     # ``threshold_mask_predictions`` path, settings/deform_net.py:118)
     threshold_mask_predictions: bool = False
+    # patch-wise variant (reference ``patchwise_threshold_mask_predictions``,
+    # alignment/deform_net.py:707-717): max-pool the mask per patch and keep
+    # only each patch's maxima (weights elsewhere zeroed) — a sparsifying
+    # winner-take-all instead of a global cutoff
+    patchwise_threshold_mask_predictions: bool = False
+    patch_size: int = 16
     # bidirectional flow consistency (reference deform_net.py:192-201,
     # settings/deform_net.py:122-128)
     enforce_bidirectional_consistency: bool = False
@@ -405,6 +437,10 @@ class DeformNet(nn.Module):
             if evaluate and self.threshold_mask_predictions:
                 mask_weights = jnp.where(
                     mask_weights >= self.mask_threshold, mask_weights, 0.0
+                )
+            elif evaluate and self.patchwise_threshold_mask_predictions:
+                mask_weights = patchwise_threshold(
+                    mask_weights, self.patch_size
                 )
 
         flow_back = None

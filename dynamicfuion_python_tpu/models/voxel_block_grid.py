@@ -300,7 +300,23 @@ class VoxelBlockGrid:
         u_safe = jnp.clip(u, 0, w - 1)
         v_safe = jnp.clip(v, 0, h - 1)
 
-        d = depth[v_safe, u_safe].astype(jnp.float32) / self.depth_scale
+        # ONE packed 8-wide pixel-table row gather per voxel instead of
+        # separate depth/normal/color gathers (TPU gathers are per-op
+        # latency-bound; narrow rows waste the 128-lane tile anyway)
+        pixel_cols = [depth.astype(jnp.float32).reshape(-1, 1)]
+        if normals is not None and warp is not None:
+            pixel_cols.append(normals.reshape(-1, 3))
+        else:
+            pixel_cols.append(jnp.zeros((h * w, 3), jnp.float32))
+        if color is not None:
+            pixel_cols.append(color.reshape(-1, 3))
+        else:
+            pixel_cols.append(jnp.zeros((h * w, 3), jnp.float32))
+        pixel_cols.append(jnp.zeros((h * w, 1), jnp.float32))
+        pixel_tbl = jnp.concatenate(pixel_cols, axis=1)  # [H*W, 8]
+        row = pixel_tbl[v_safe * w + u_safe]  # [P, 8]
+
+        d = row[:, 0] / self.depth_scale
         depth_ok = (d > 0.0) & (d <= self.depth_max)
 
         psdf = d - warped[..., 2]
@@ -316,7 +332,7 @@ class VoxelBlockGrid:
             view_dir = -warped / jnp.maximum(
                 jnp.linalg.norm(warped, axis=-1, keepdims=True), 1e-12
             )
-            nrm = normals[v_safe, u_safe]
+            nrm = row[:, 1:4]
             cosine = jnp.sum(view_dir * nrm, axis=-1)
             # Reject OBLIQUE readings (cosine small). The reference's own
             # comment states this intent, but its code keeps `cosine <= 0.5`
@@ -347,9 +363,7 @@ class VoxelBlockGrid:
 
         new_color = self.color
         if color is not None:
-            sampled = color[v_safe, u_safe].astype(jnp.float32).reshape(
-                *shape_blocks, 3
-            )
+            sampled = row[:, 4:7].reshape(*shape_blocks, 3)
             old_color = self.color[slots]
             merged_color = jnp.where(
                 update[..., None],
@@ -814,9 +828,10 @@ def extract_mesh_fitter_arrays(
         | (faces[:, 1] == faces[:, 2])
         | (faces[:, 0] == faces[:, 2])
     )
+    from dynamicfuion_python_tpu.ops.compaction import compact_mask_indices
+
     keep = tri_valid & ~degenerate
-    (keep_ids,) = jnp.nonzero(keep, size=t_cap, fill_value=t_cap)
-    kept_count = jnp.sum(keep)
+    keep_ids, kept_count = compact_mask_indices(keep, t_cap, fill_value=t_cap)
     faces = jnp.where(
         (jnp.arange(t_cap) < kept_count)[:, None],
         faces[jnp.minimum(keep_ids, t_cap - 1)],

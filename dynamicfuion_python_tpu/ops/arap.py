@@ -144,28 +144,34 @@ def assemble_arap_normal_equations(
     h_ij = six_block(zeros3, -jr_t_c, zeros3, -c2_eye)
     h_jj = six_block(zeros3, zeros3, zeros3, c2_eye)
 
-    # -- gradient: -J^T r
-    g = jnp.zeros((num_nodes, 6), jnp.float32)
+    # -- gradient: -J^T r (one-hot matmuls: TPU scatter-add serializes even
+    # at this edge count and costs ~ms per op; the [N, E] one-hot contractions
+    # are single fused kernels)
     gi_rot = -jnp.einsum("eab,ea->eb", jr, r, precision=_P)
     gi_trans = -c[:, None] * r
     gj_trans = c[:, None] * r
-    g = g.at[i, :3].add(gi_rot)
-    g = g.at[i, 3:].add(gi_trans)
-    g = g.at[j, 3:].add(gj_trans)
+    ids_n = jnp.arange(num_nodes)
+    oi = (i[None, :] == ids_n[:, None]).astype(jnp.float32)  # [N, E]
+    oj = (j[None, :] == ids_n[:, None]).astype(jnp.float32)
+    g_rot = jnp.einsum("ne,eb->nb", oi, gi_rot, precision=_P)
+    g_trans = jnp.einsum(
+        "ne,eb->nb", oi, gi_trans, precision=_P
+    ) + jnp.einsum("ne,eb->nb", oj, gj_trans, precision=_P)
+    g = jnp.concatenate([g_rot, g_trans], axis=-1)  # [N, 6]
 
-    # -- diagonal accumulation
-    stem_diag = jax.ops.segment_sum(
-        jnp.where((i < n0)[:, None, None], h_ii, 0.0), jnp.minimum(i, n0 - 1),
-        num_segments=n0,
-    )
-    corner_blocks_diag = jax.ops.segment_sum(
-        jnp.where((i >= n0)[:, None, None], h_ii, 0.0)
-        + 0.0,
-        jnp.maximum(i - n0, 0),
-        num_segments=max(nc, 1),
-    ) + jax.ops.segment_sum(
-        h_jj, jnp.maximum(j - n0, 0), num_segments=max(nc, 1)
-    )
+    # -- diagonal accumulation (one-hot contractions again)
+    h_ii_flat = h_ii.reshape(e, 36)
+    h_jj_flat = h_jj.reshape(e, 36)
+    stem_diag = jnp.einsum(
+        "ne,ec->nc", oi[:n0], h_ii_flat, precision=_P
+    ).reshape(n0, 6, 6)
+    nc1 = max(nc, 1)
+    oc_i = oi[n0:] if nc > 0 else jnp.zeros((1, e), jnp.float32)
+    oc_j = oj[n0:] if nc > 0 else jnp.zeros((1, e), jnp.float32)
+    corner_blocks_diag = (
+        jnp.einsum("ne,ec->nc", oc_i, h_ii_flat, precision=_P)
+        + jnp.einsum("ne,ec->nc", oc_j, h_jj_flat, precision=_P)
+    ).reshape(nc1, 6, 6)
 
     # -- wing: edges with stem source, grouped by source (build() emits them
     # contiguously per fine node with a fixed per-layer degree)
@@ -184,32 +190,38 @@ def assemble_arap_normal_equations(
     slot_sorted = idx - first
     slot = jnp.zeros((e,), jnp.int32).at[sorted_order].set(slot_sorted.astype(jnp.int32))
 
-    wing = jnp.zeros((n0, max_wing_degree, 6, 6), jnp.float32)
-    wing_cols = jnp.full((n0, max_wing_degree), -1, jnp.int32)
     ok = is_stem_edge & (slot < max_wing_degree)
+    h_ij_flat = h_ij.reshape(e, 36)
+    wid = jnp.where(
+        ok, i * max_wing_degree + slot, n0 * max_wing_degree
+    )
+    ids_w = jnp.arange(n0 * max_wing_degree)
+    ow = (wid[None, :] == ids_w[:, None]).astype(jnp.float32)
+    wing = jnp.einsum("we,ec->wc", ow, h_ij_flat, precision=_P).reshape(
+        n0, max_wing_degree, 6, 6
+    )
+    wing_cols = jnp.full((n0, max_wing_degree), -1, jnp.int32)
     si = jnp.where(ok, i, 0)
     ss = jnp.where(ok, slot, 0)
-    wing = wing.at[si, ss].add(jnp.where(ok[:, None, None], h_ij, 0.0))
     wing_cols = wing_cols.at[si, ss].set(
         jnp.where(ok, j - n0, wing_cols[si, ss])
     )
 
     # -- corner off-diagonals: edges between coarser layers
-    corner = jnp.zeros((max(nc, 1) * 6, max(nc, 1) * 6), jnp.float32)
+    nc1 = max(nc, 1)
     coarse_edge = i >= n0
     ci = jnp.maximum(i - n0, 0)
     cj = jnp.maximum(j - n0, 0)
-    contrib = jnp.where(coarse_edge[:, None, None], h_ij, 0.0)
-    flat_idx = ci * max(nc, 1) + cj
-    off = jax.ops.segment_sum(
-        contrib, flat_idx, num_segments=max(nc, 1) ** 2
-    ).reshape(max(nc, 1), max(nc, 1), 6, 6)
+    flat_idx = jnp.where(coarse_edge, ci * nc1 + cj, nc1 * nc1)
+    ids_c = jnp.arange(nc1 * nc1)
+    oc = (flat_idx[None, :] == ids_c[:, None]).astype(jnp.float32)
+    off = jnp.einsum("ce,ef->cf", oc, h_ij_flat, precision=_P).reshape(
+        nc1, nc1, 6, 6
+    )
     # place blocks + transposes + diagonal blocks into the dense corner
-    corner = corner.reshape(max(nc, 1), 6, max(nc, 1), 6)
-    corner = corner + off.transpose(0, 2, 1, 3)
-    corner = corner + off.transpose(1, 3, 0, 2)
-    diag_idx = jnp.arange(max(nc, 1))
+    corner = off.transpose(0, 2, 1, 3) + off.transpose(1, 3, 0, 2)
+    diag_idx = jnp.arange(nc1)
     corner = corner.at[diag_idx, :, diag_idx, :].add(corner_blocks_diag)
-    corner = corner.reshape(max(nc, 1) * 6, max(nc, 1) * 6)
+    corner = corner.reshape(nc1 * 6, nc1 * 6)
 
     return stem_diag, wing, wing_cols, corner, g.reshape(-1)

@@ -57,6 +57,30 @@ def knn(
     n = references.shape[0]
     k = min(k, n)
 
+    if n <= 2048:
+        # small reference set (warp-field nodes): one dense [M, N] distance
+        # matrix + k argmin/mask passes. Avoids both the sequential
+        # ``lax.map`` over query chunks and ``lax.top_k``'s sort lowering —
+        # ~10x faster on TPU for the volume-integration anchor workload
+        # (131k queries x ~64 nodes).
+        d2 = squared_distance_matrix(flat, references)
+        cols = jnp.arange(n, dtype=jnp.int32)
+        vals, idxs = [], []
+        work = d2
+        for _ in range(k):
+            i = jnp.argmin(work, axis=1).astype(jnp.int32)
+            hit = cols[None, :] == i[:, None]
+            v = jnp.min(work, axis=1)
+            vals.append(v)
+            idxs.append(i)
+            work = jnp.where(hit, jnp.inf, work)
+        dists = jnp.stack(vals, axis=-1)
+        indices = jnp.stack(idxs, axis=-1)
+        return (
+            dists.reshape(*lead_shape, k),
+            indices.reshape(*lead_shape, k),
+        )
+
     pad = (-m) % chunk_size
     padded = jnp.concatenate(
         [flat, jnp.full((pad, flat.shape[-1]), 1e30, flat.dtype)], axis=0

@@ -24,6 +24,7 @@ from dynamicfuion_python_tpu.ops.linalg.block_ops import (
 from dynamicfuion_python_tpu.ops.linalg.arrowhead import (
     BlockSparseArrowheadMatrix,
     solve_block_sparse_arrowhead,
+    arrowhead_matvec,
     arrowhead_to_dense,
 )
 
@@ -38,5 +39,6 @@ __all__ = [
     "matmul3d",
     "BlockSparseArrowheadMatrix",
     "solve_block_sparse_arrowhead",
+    "arrowhead_matvec",
     "arrowhead_to_dense",
 ]

@@ -111,14 +111,19 @@ def arrowhead_to_dense(matrix: BlockSparseArrowheadMatrix) -> jnp.ndarray:
 def _wing_t_times(
     wing: jnp.ndarray, wing_cols: jnp.ndarray, stem_vectors: jnp.ndarray, nc: int
 ) -> jnp.ndarray:
-    """B^T v for stem block-vectors v: scatter-add wing[i,k]^T @ v[i] into corner rows.
+    """B^T v for stem block-vectors v: accumulate wing[i,k]^T @ v[i] into
+    corner rows via a one-hot contraction (TPU scatter-add costs ~ms even
+    at this size; the [Nc, N0*K] one-hot matmul is a single fused kernel).
 
     wing: [N0, K, B, B]; stem_vectors: [N0, B]; returns [Nc, B].
     """
     contrib = jnp.einsum("nkba,nb->nka", wing, stem_vectors, precision=jax.lax.Precision.HIGHEST)  # transpose via index swap
     flat = contrib.reshape(-1, contrib.shape[-1])
-    cols = jnp.maximum(wing_cols, 0).reshape(-1)
-    return jax.ops.segment_sum(flat, cols, num_segments=nc)
+    cols = wing_cols.reshape(-1)
+    onehot = (cols[None, :] == jnp.arange(nc)[:, None]).astype(flat.dtype)
+    return jnp.einsum(
+        "ce,eb->cb", onehot, flat, precision=jax.lax.Precision.HIGHEST
+    )
 
 
 def _cholesky_with_escalating_damping(matrix: jnp.ndarray) -> jnp.ndarray:
@@ -146,19 +151,56 @@ def _cholesky_with_escalating_damping(matrix: jnp.ndarray) -> jnp.ndarray:
         return mu, jnp.linalg.cholesky(matrix + mu * eye), tries + 1
 
     first = jnp.linalg.cholesky(matrix)
-    _, factor, _ = jax.lax.while_loop(
+    _, factor, tries = jax.lax.while_loop(
         cond, body, (jnp.zeros((), matrix.dtype), first, jnp.int32(0))
     )
-    return factor
+    # tries > 0 <=> the undamped factorization was indefinite — the caller's
+    # conditioning signal (fitter valid-solve guard)
+    return factor, tries
+
+
+def arrowhead_matvec(
+    matrix: BlockSparseArrowheadMatrix, x: jnp.ndarray
+) -> jnp.ndarray:
+    """H @ x for the arrowhead system (validity/conditioning checks: the
+    fitter verifies ``||H dx - g|| <= tol ||g||`` so a solve that only
+    succeeded through escalated internal damping is flagged instead of
+    silently fused — reference ``valid_solve`` semantics,
+    ``point_cloud_alignment_optimizer.py:219-267``)."""
+    b = matrix.block_size
+    n0 = matrix.num_stem_blocks
+    nc = matrix.num_corner_blocks
+    wing = _mask_wing(matrix)
+    xs = x[: n0 * b].reshape(n0, b)
+    xc = x[n0 * b :]
+    ys = jnp.einsum(
+        "nab,nb->na", matrix.diag_blocks, xs,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    xc_blocks = xc.reshape(nc, b)
+    gathered = xc_blocks[jnp.maximum(matrix.wing_cols, 0)]
+    gathered = jnp.where((matrix.wing_cols >= 0)[..., None], gathered, 0.0)
+    ys = ys + jnp.einsum(
+        "nkab,nkb->na", wing, gathered, precision=jax.lax.Precision.HIGHEST
+    )
+    yc = matrix.corner @ xc + _wing_t_times(
+        wing, matrix.wing_cols, xs, nc
+    ).reshape(-1)
+    return jnp.concatenate([ys.reshape(-1), yc])
 
 
 def solve_block_sparse_arrowhead(
-    matrix: BlockSparseArrowheadMatrix, rhs: jnp.ndarray
+    matrix: BlockSparseArrowheadMatrix,
+    rhs: jnp.ndarray,
+    return_diagnostics: bool = False,
 ) -> jnp.ndarray:
     """Solve H x = rhs for the arrowhead system.
 
-    ``rhs``: f32[(N0+Nc)*B]. Returns x of the same shape. Fully jit-safe
-    (static shapes; padded wing slots contribute zeros).
+    ``rhs``: f32[(N0+Nc)*B]. Returns x of the same shape (with
+    ``return_diagnostics``: ``(x, damping_escalations)`` where a non-zero
+    escalation count means the Schur complement only factorized through
+    extra internal damping — the fitter's conditioning signal). Fully
+    jit-safe (static shapes; padded wing slots contribute zeros).
     """
     b = matrix.block_size
     n0 = matrix.num_stem_blocks
@@ -184,10 +226,16 @@ def solve_block_sparse_arrowhead(
     pair_valid = (j1 >= 0) & (j2 >= 0)
     flat_pair = jnp.where(
         pair_valid[..., None, None], pair, 0.0
-    ).reshape(-1, b, b)
-    flat_idx = (jnp.maximum(j1, 0) * nc + jnp.maximum(j2, 0)).reshape(-1)
-    schur_blocks = jax.ops.segment_sum(
-        flat_pair, flat_idx, num_segments=nc * nc
+    ).reshape(-1, b * b)
+    flat_idx = jnp.where(
+        pair_valid, jnp.maximum(j1, 0) * nc + jnp.maximum(j2, 0), nc * nc
+    ).reshape(-1)
+    onehot = (
+        flat_idx[None, :] == jnp.arange(nc * nc)[:, None]
+    ).astype(flat_pair.dtype)
+    schur_blocks = jnp.einsum(
+        "ce,ef->cf", onehot, flat_pair,
+        precision=jax.lax.Precision.HIGHEST,
     ).reshape(nc, nc, b, b)
     schur = matrix.corner - schur_blocks.transpose(0, 2, 1, 3).reshape(nc * b, nc * b)
 
@@ -195,7 +243,7 @@ def solve_block_sparse_arrowhead(
     corner_rhs = rhs_corner - _wing_t_times(wing, matrix.wing_cols, dinv_rhs, nc).reshape(
         -1
     )
-    schur_factor = _cholesky_with_escalating_damping(schur)
+    schur_factor, damping_tries = _cholesky_with_escalating_damping(schur)
     x_corner = cholesky_solve(schur_factor, corner_rhs[:, None])[:, 0]
 
     # 5. Back-substitute: x_s = D^-1 b_s - W x_c.
@@ -204,4 +252,7 @@ def solve_block_sparse_arrowhead(
     gathered = jnp.where((matrix.wing_cols >= 0)[..., None], gathered, 0.0)
     x_stem = dinv_rhs - jnp.einsum("nkab,nkb->na", w, gathered, precision=jax.lax.Precision.HIGHEST)
 
-    return jnp.concatenate([x_stem.reshape(-1), x_corner])
+    x = jnp.concatenate([x_stem.reshape(-1), x_corner])
+    if return_diagnostics:
+        return x, damping_tries
+    return x

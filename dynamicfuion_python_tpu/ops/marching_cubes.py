@@ -173,47 +173,47 @@ def marching_cubes(
     edges = jnp.asarray(_EDGES)  # [12, 2]
     corners = jnp.asarray(corners_i.astype(np.int32))  # [8, 3]
 
-    corner_vals = jnp.stack(
-        [
-            tsdf[:, cx : cx + r, cy : cy + r, cz : cz + r]
-            for cx, cy, cz in corners_i
-        ],
-        axis=-1,
-    )  # [B, R, R, R, 8]
-    corner_valid = jnp.stack(
-        [
-            valid[:, cx : cx + r, cy : cy + r, cz : cz + r]
-            for cx, cy, cz in corners_i
-        ],
-        axis=-1,
-    )
-    cell_ok = jnp.all(corner_valid, axis=-1)
+    # block-minor layout for the dense per-cell stage: [R, R, R, B] puts the
+    # (large) block axis on the TPU lane dimension — the natural
+    # [B, R, R, R(, 8)] layout pads its size-8 minor dims to 128 lanes and
+    # multiplies HBM traffic ~16x (measured 20 ms -> ~2 ms for this kernel)
+    tsdf_t = jnp.transpose(tsdf, (1, 2, 3, 0))  # [R+1, R+1, R+1, B]
+    valid_t = jnp.transpose(valid, (1, 2, 3, 0))
 
-    inside = (corner_vals < 0.0).astype(jnp.int32)
-    case = jnp.sum(
-        inside * (1 << jnp.arange(8, dtype=jnp.int32)), axis=-1
-    )  # [B, R, R, R]
+    case = jnp.zeros((r, r, r, b), jnp.int32)
+    cell_ok = jnp.ones((r, r, r, b), bool)
+    for ci, (cx_, cy_, cz_) in enumerate(corners_i):
+        cv = tsdf_t[cx_ : cx_ + r, cy_ : cy_ + r, cz_ : cz_ + r, :]
+        ok = valid_t[cx_ : cx_ + r, cy_ : cy_ + r, cz_ : cz_ + r, :]
+        case = case + (cv < 0.0).astype(jnp.int32) * (1 << ci)
+        cell_ok = cell_ok & ok
+
     tri_count = jnp.asarray(_CASE_TRI_COUNT)[case] * cell_ok
 
-    # flatten cells x 5 triangle slots
-    flat_case = case.reshape(-1)
-    flat_count = tri_count.reshape(-1)
+    # flatten: slot-major over [5, R, R, R, B]
+    cells = r * r * r * b
+    flat_case = case.reshape(-1)  # index = ((x*R + y)*R + z)*B + blk
     slot = jnp.arange(5, dtype=jnp.int32)
-    occupancy = (slot[None, :] < flat_count[:, None]).reshape(-1)
+    occupancy = (
+        slot[:, None] < tri_count.reshape(1, -1)
+    ).reshape(-1)  # [5 * cells]
 
-    (tri_ids,) = jnp.nonzero(
-        occupancy, size=max_triangles, fill_value=occupancy.shape[0]
+    from dynamicfuion_python_tpu.ops.compaction import compact_mask_indices
+
+    tri_ids, total = compact_mask_indices(
+        occupancy, max_triangles, fill_value=occupancy.shape[0]
     )
-    count = jnp.minimum(jnp.sum(occupancy), max_triangles)
+    count = jnp.minimum(total, max_triangles)
     in_range = tri_ids < occupancy.shape[0]
     safe_ids = jnp.where(in_range, tri_ids, 0)
 
-    cell = safe_ids // 5
-    tri_in_cell = (safe_ids % 5).astype(jnp.int32)
-    cz = cell % r
-    cy = (cell // r) % r
-    cx = (cell // (r * r)) % r
-    blk = cell // (r * r * r)
+    cell = safe_ids % cells
+    tri_in_cell = (safe_ids // cells).astype(jnp.int32)
+    blk = cell % b
+    c3 = cell // b
+    cz = c3 % r
+    cy = (c3 // r) % r
+    cx = c3 // (r * r)
 
     tri_edges = case_table[flat_case[cell], tri_in_cell]  # [T, 3] edge ids
     safe_edges = jnp.maximum(tri_edges, 0)

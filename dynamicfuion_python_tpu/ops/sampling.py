@@ -33,20 +33,28 @@ def _cell_ids(
     cell_size: float,
     offset: float = 0.0,
     valid: jnp.ndarray | None = None,
+    origin: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Quantize points to flat grid-cell ids (collision-free within extent).
 
     ``offset`` shifts the grid by that fraction of a cell on every axis (the
     reference's half-cell-offset second radius-downsampling pass,
-    ``kernel/GeometrySamplingImpl.h:73-74``). Points where ``valid`` is False
-    all map to one sentinel id that sorts after every real cell.
+    ``kernel/GeometrySamplingImpl.h:73-74``). ``origin`` pins the grid
+    origin explicitly — the two-pass radius downsamplers pass the FIRST
+    pass's origin so pass 2 is exactly pass 1's grid shifted by half a cell
+    (ADVICE r3: re-deriving it from pass-1 output made the relative shift
+    data-dependent). Points where ``valid`` is False all map to one sentinel
+    id that sorts after every real cell.
     """
-    if valid is None:
+    if origin is not None:
+        mins = origin
+    elif valid is None:
         mins = jnp.min(points, axis=0)
     else:
         big = jnp.full_like(points, jnp.inf)
         mins = jnp.min(jnp.where(valid[:, None], points, big), axis=0)
     cells = jnp.floor((points - mins) / cell_size + offset).astype(jnp.int32)
+    cells = jnp.maximum(cells, 0)
     if valid is not None:
         cells = jnp.where(valid[:, None], cells, 0)
     extent = jnp.max(cells, axis=0) + 1
@@ -73,6 +81,7 @@ def mean_grid_downsample(
     cell_size: float,
     offset: float = 0.0,
     valid: jnp.ndarray | None = None,
+    origin: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Average points per occupied cell.
 
@@ -83,7 +92,9 @@ def mean_grid_downsample(
     n = points.shape[0]
     if valid is not None:
         points = jnp.where(valid[:, None], points, 0.0)
-    order, seg, count = _segment_layout(_cell_ids(points, cell_size, offset, valid))
+    order, seg, count = _segment_layout(
+        _cell_ids(points, cell_size, offset, valid, origin)
+    )
     sorted_points = points[order]
     sums = jax.ops.segment_sum(sorted_points, seg, num_segments=n)
     nums = jax.ops.segment_sum(jnp.ones((n,), points.dtype), seg, num_segments=n)
@@ -101,6 +112,7 @@ def median_grid_subsample(
     cell_size: float,
     offset: float = 0.0,
     valid: jnp.ndarray | None = None,
+    origin: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Pick, per occupied cell, the index of the input point closest to the
     cell mean ("closest-to-mean grid subsample", the reference's hierarchy
@@ -109,7 +121,9 @@ def median_grid_subsample(
     n = points.shape[0]
     if valid is not None:
         points = jnp.where(valid[:, None], points, 0.0)
-    order, seg, count = _segment_layout(_cell_ids(points, cell_size, offset, valid))
+    order, seg, count = _segment_layout(
+        _cell_ids(points, cell_size, offset, valid, origin)
+    )
     if valid is not None:
         count = count - jnp.any(~valid).astype(count.dtype)
     sorted_points = points[order]
@@ -150,13 +164,20 @@ def fast_mean_radius_downsample(
     atomics on TPU). Returns (f32[N, 3] NaN-padded, count).
     """
     n = points.shape[0]
-    stage1, count1 = mean_grid_downsample(points, _radius_cell(radius))
+    origin = jnp.min(points, axis=0)
+    stage1, count1 = mean_grid_downsample(
+        points, _radius_cell(radius), origin=origin
+    )
     valid1 = jnp.arange(n) < count1
+    # pass 2 reuses pass 1's grid ORIGIN so the half-cell shift is exact
+    # (ADVICE r3: a data-derived origin could re-align the two grids and
+    # leave samples closer than the separation radius)
     return mean_grid_downsample(
         jnp.where(valid1[:, None], stage1, 0.0),
         _radius_cell(radius),
         offset=0.5,
         valid=valid1,
+        origin=origin,
     )
 
 
@@ -171,11 +192,14 @@ def fast_median_radius_subsample(
     Returns (int32[N] indices into ``points`` padded with -1, count).
     """
     n = points.shape[0]
-    idx1, count1 = median_grid_subsample(points, _radius_cell(radius))
+    origin = jnp.min(points, axis=0)
+    idx1, count1 = median_grid_subsample(
+        points, _radius_cell(radius), origin=origin
+    )
     valid1 = jnp.arange(n) < count1
     stage1 = jnp.where(valid1[:, None], points[jnp.maximum(idx1, 0)], 0.0)
     idx2, count2 = median_grid_subsample(
-        stage1, _radius_cell(radius), offset=0.5, valid=valid1
+        stage1, _radius_cell(radius), offset=0.5, valid=valid1, origin=origin
     )
     final = jnp.where(idx2 >= 0, idx1[jnp.maximum(idx2, 0)], -1)
     return final.astype(jnp.int32), count2

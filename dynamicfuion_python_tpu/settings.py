@@ -105,6 +105,22 @@ class AlignmentConfig:
     # rigid pre-alignment (reference pipeline.py:343-354 runs 3-level
     # point-to-plane odometry before the non-rigid stage)
     use_rigid_alignment: bool = True
+    # GN iteration-mode schedule, comma-separated and cycled over the
+    # iteration count (reference ``DeformableMeshToImageFitter.h:58``
+    # ``iteration_mode_sequence``): e.g. "translation_only,all" warms up
+    # translations before full 6-dof steps. Values: all / translation_only /
+    # rotation_only.
+    iteration_modes: str = "all"
+    # data-term Hessian lumping (w j j^T instead of (w j)(w j)^T): exact for
+    # rigid motions and contractive in general; False reproduces the literal
+    # reference block-Jacobi math (``models/fitter.py`` FitterConfig docs)
+    lump_data_hessian: bool = True
+    # valid-solve guard: physical per-iteration limits + solve-residual
+    # conditioning tolerance (see FitterConfig.valid_solve_*);
+    # translation limit 0 -> 2 * graph.node_coverage
+    valid_solve_rotation_limit: float = 0.5
+    valid_solve_translation_limit: float = 0.0
+    valid_solve_residual_tolerance: float = 2.0
 
 
 @config_node

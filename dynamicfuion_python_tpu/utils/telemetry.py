@@ -172,13 +172,18 @@ class TelemetryRecorder:
 
     def finish(self) -> dict:
         total = time.perf_counter() - self._start_time
+        fps = len(self.frame_metrics) / total if total > 0 else 0.0
         summary = {
             "total_runtime_s": total,
+            "frames_per_second": fps,
             "frame_count": len(self.frame_metrics),
             "frames": self.frame_metrics,
         }
         if self.config.record_frame_metrics:
             (self.run_dir / "metrics.json").write_text(json.dumps(summary, indent=1))
         if self.config.print_runtime:
-            print(f"total runtime: {total:.2f} s for {len(self.frame_metrics)} frames")
+            print(
+                f"total runtime: {total:.2f} s for "
+                f"{len(self.frame_metrics)} frames ({fps:.2f} frames/s)"
+            )
         return summary

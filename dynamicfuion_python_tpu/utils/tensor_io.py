@@ -224,14 +224,23 @@ def read_warp_field(path):
     return WarpField(**common)
 
 
-def save_fusion_checkpoint(directory, volume, warp_field, frame_index: int):
+def save_fusion_checkpoint(
+    directory, volume, warp_field, frame_index: int, mesh_state: dict | None = None
+):
     """Mid-sequence resume point (greenfield vs the reference, which can only
-    re-slice via start_at_frame)."""
+    re-slice via start_at_frame). ``mesh_state`` carries the pipeline's
+    canonical-mesh capacity buckets + (one-frame-lagged) extraction counts so
+    a resumed run reproduces the uninterrupted run bit-for-bit — the counts
+    cross the tunnel asynchronously, so cap growth lags one frame and that
+    lag is part of the deterministic state."""
     d = Path(directory)
     d.mkdir(parents=True, exist_ok=True)
     write_voxel_block_grid(d / "volume.ntio", volume)
     write_warp_field(d / "warp_field.ntio", warp_field)
-    (d / "state.json").write_text(json.dumps({"frame_index": frame_index}))
+    state = {"frame_index": frame_index}
+    if mesh_state is not None:
+        state["mesh_state"] = mesh_state
+    (d / "state.json").write_text(json.dumps(state))
 
 
 def load_fusion_checkpoint(directory):
@@ -239,4 +248,4 @@ def load_fusion_checkpoint(directory):
     volume = read_voxel_block_grid(d / "volume.ntio")
     field = read_warp_field(d / "warp_field.ntio")
     state = json.loads((d / "state.json").read_text())
-    return volume, field, state["frame_index"]
+    return volume, field, state["frame_index"], state.get("mesh_state")

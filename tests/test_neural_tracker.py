@@ -632,3 +632,33 @@ class TestSod:
         assert len(written) == 2
         mask = np.asarray(Image.open(written[0]))
         assert mask.shape == (48, 40) and mask.dtype == np.uint8
+
+
+class TestPatchwiseMaskThreshold:
+    """Reference ``patchwise_threshold_mask_predictions``
+    (``alignment/deform_net.py:707-717``): per-patch winner-take-all."""
+
+    def test_keeps_exactly_per_patch_maxima(self):
+        import torch
+        import torch.nn.functional as F
+
+        from dynamicfuion_python_tpu.models.deform_net import (
+            patchwise_threshold,
+        )
+
+        rng = np.random.default_rng(11)
+        m = rng.random((2, 64, 96)).astype(np.float32)
+        ours = np.asarray(patchwise_threshold(jnp.asarray(m), 16))
+        # torch oracle = the reference's literal recipe
+        t = torch.from_numpy(m)
+        pooled = F.max_pool2d(t, kernel_size=16, stride=16)
+        pooled = F.interpolate(
+            pooled.unsqueeze(1), size=(64, 96), mode="nearest"
+        ).squeeze(1)
+        selected = (torch.abs(t - pooled) <= 1e-8).float()
+        want = (t * selected).numpy()
+        np.testing.assert_allclose(ours, want, rtol=0, atol=0)
+        # exactly one survivor per 16x16 patch (random ties are measure-zero)
+        per_patch = ours.reshape(2, 4, 16, 6, 16)
+        counts = (per_patch > 0).sum(axis=(2, 4))
+        assert (counts == 1).all()

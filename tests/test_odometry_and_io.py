@@ -116,7 +116,7 @@ class TestTensorIO:
         )
 
         save_fusion_checkpoint(tmp_path / "ckpt", grid, field, frame_index=7)
-        g2, f2, frame = load_fusion_checkpoint(tmp_path / "ckpt")
+        g2, f2, frame, _ = load_fusion_checkpoint(tmp_path / "ckpt")
         assert frame == 7
         assert int(g2.occupied_count()) == 2
         np.testing.assert_array_equal(

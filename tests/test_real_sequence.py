@@ -1,0 +1,54 @@
+"""Real RGB-D data fusion (VERDICT r4 item 2) — slow, opt-in.
+
+Runs the full pipeline on the REAL DeepDeform pairs mounted with the
+reference (``example_data``): seq017 exercises FIRST_FRAME_LOADED_GRAPH on
+real depth + precomputed graph blobs; seq258 exercises the GT-optical-flow
+prior (playing the trained DeformNet's role — its weights are not shipped)
+followed by the GN depth fit. Each mounted sequence contains exactly the
+two frames of its alignment pair; see benchmarks/real_sequence_eval.py for
+the recorded metrics.
+
+Opt in with ``RUN_REAL_SEQUENCE=1`` (several minutes of compile on CPU).
+"""
+
+import os
+import sys
+from pathlib import Path
+
+import pytest
+
+EXAMPLE_DATA = Path("/root/reference/example_data")
+
+pytestmark = [
+    pytest.mark.skipif(
+        not os.environ.get("RUN_REAL_SEQUENCE"),
+        reason="slow real-data fusion; set RUN_REAL_SEQUENCE=1",
+    ),
+    pytest.mark.skipif(
+        not EXAMPLE_DATA.is_dir(), reason="reference example_data not mounted"
+    ),
+]
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "benchmarks"))
+
+
+def test_seq017_loaded_graph_on_real_depth():
+    from real_sequence_eval import evaluate_sequence
+
+    res = evaluate_sequence(str(EXAMPLE_DATA / "test" / "seq017"), downscale=4)
+    assert res["graph_mode"] == "FIRST_FRAME_LOADED_GRAPH"
+    assert res["nodes"] > 50
+    # the frame-0 TSDF reproduces the observed real depth to sub-voxel
+    assert res["per_frame"][0]["median_m"] < 0.005
+
+
+def test_seq258_gt_flow_prior_tracks_pair():
+    from real_sequence_eval import evaluate_sequence
+
+    res = evaluate_sequence(str(EXAMPLE_DATA / "train" / "seq258"), downscale=4)
+    last = res["per_frame"][-1]
+    assert last["used_gt_flow_prior"]
+    assert res["valid_ratio"] == 1.0
+    # flow-bootstrapped fit brings the warped mesh within ~1 voxel of the
+    # observed target depth (median)
+    assert last["median_m"] < 0.02
