@@ -136,6 +136,11 @@ class FusionPipeline:
             valid_solve_rotation_limit=a.valid_solve_rotation_limit,
             valid_solve_translation_limit=a.valid_solve_translation_limit,
             valid_solve_residual_tolerance=a.valid_solve_residual_tolerance,
+            valid_solve_escalated_residual_tolerance=(
+                a.valid_solve_escalated_residual_tolerance
+            ),
+            data_term_impl=a.data_term_impl,
+            pixel_compaction_fraction=a.pixel_compaction_fraction,
         )
 
     # -- first frame ---------------------------------------------------------
@@ -694,6 +699,12 @@ class FusionPipeline:
             "active_blocks": n_intersecting,
             "rigid_rmse": rigid_rmse,
             "valid_solve": diagnostics["valid_solve"],
+            # < 1.0 flags frames whose coverage saturated the face data
+            # term's compaction cap (rows dropped from the normal
+            # equations; see FitterConfig.pixel_compaction_fraction)
+            "pixel_cap_kept_fraction": diagnostics["pixel_cap_kept_fraction"][
+                -1
+            ],
         }
         if not p.fusion.sync_frame_metrics:
             # streaming mode: start the async copies and hand back device
@@ -973,6 +984,9 @@ def run_fusion(
             telemetry.record_frame(frame.index, nodes=pipeline.warp_field.num_nodes)
         else:
             metrics = pipeline.process_frame(frame.depth, frame.color)
+            # streaming mode hands back device arrays (async copies in
+            # flight) — the recorder materializes them once at finish(),
+            # off the per-frame hot path
             telemetry.record_frame(frame.index, **metrics)
             telemetry.record_meshes(
                 frame.index,

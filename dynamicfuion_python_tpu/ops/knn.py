@@ -57,12 +57,16 @@ def knn(
     n = references.shape[0]
     k = min(k, n)
 
-    if n <= 2048:
-        # small reference set (warp-field nodes): one dense [M, N] distance
-        # matrix + k argmin/mask passes. Avoids both the sequential
-        # ``lax.map`` over query chunks and ``lax.top_k``'s sort lowering —
-        # ~10x faster on TPU for the volume-integration anchor workload
-        # (131k queries x ~64 nodes).
+    # small reference set (warp-field nodes): one dense [M, N] distance
+    # matrix + k argmin/mask passes. Avoids both the sequential
+    # ``lax.map`` over query chunks and ``lax.top_k``'s sort lowering —
+    # ~10x faster on TPU for the volume-integration anchor workload
+    # (131k queries x ~64 nodes). Gated on the MATERIALIZED matrix budget
+    # (M*N*(k+1) f32 live at the peak — the working copy plus the k
+    # stacked min passes), not on N alone: 131k queries x 2048 refs would
+    # otherwise burn ~1 GB per masked-argmin pass (ADVICE r4 #5)
+    dense_budget_elems = 64 << 20  # 256 MB of f32
+    if n <= 2048 and m * n * (k + 1) <= dense_budget_elems:
         d2 = squared_distance_matrix(flat, references)
         cols = jnp.arange(n, dtype=jnp.int32)
         vals, idxs = [], []

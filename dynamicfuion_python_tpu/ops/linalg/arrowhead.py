@@ -151,12 +151,14 @@ def _cholesky_with_escalating_damping(matrix: jnp.ndarray) -> jnp.ndarray:
         return mu, jnp.linalg.cholesky(matrix + mu * eye), tries + 1
 
     first = jnp.linalg.cholesky(matrix)
-    _, factor, tries = jax.lax.while_loop(
+    mu, factor, tries = jax.lax.while_loop(
         cond, body, (jnp.zeros((), matrix.dtype), first, jnp.int32(0))
     )
     # tries > 0 <=> the undamped factorization was indefinite — the caller's
-    # conditioning signal (fitter valid-solve guard)
-    return factor, tries
+    # conditioning signal (fitter valid-solve guard); mu is the damping the
+    # factorized system actually carries (0 when tries == 0), which the
+    # caller needs to verify the solve against the system that was SOLVED
+    return factor, tries, mu
 
 
 def arrowhead_matvec(
@@ -197,10 +199,13 @@ def solve_block_sparse_arrowhead(
     """Solve H x = rhs for the arrowhead system.
 
     ``rhs``: f32[(N0+Nc)*B]. Returns x of the same shape (with
-    ``return_diagnostics``: ``(x, damping_escalations)`` where a non-zero
-    escalation count means the Schur complement only factorized through
-    extra internal damping — the fitter's conditioning signal). Fully
-    jit-safe (static shapes; padded wing slots contribute zeros).
+    ``return_diagnostics``: ``(x, damping_escalations, corner_damping)``
+    where a non-zero escalation count means the Schur complement only
+    factorized through extra internal damping — the fitter's conditioning
+    signal — and ``corner_damping`` is the mu actually added to the corner
+    diagonal, so callers can verify the solve against the damped system
+    ``H + mu * I_corner`` that was factorized). Fully jit-safe (static
+    shapes; padded wing slots contribute zeros).
     """
     b = matrix.block_size
     n0 = matrix.num_stem_blocks
@@ -243,7 +248,9 @@ def solve_block_sparse_arrowhead(
     corner_rhs = rhs_corner - _wing_t_times(wing, matrix.wing_cols, dinv_rhs, nc).reshape(
         -1
     )
-    schur_factor, damping_tries = _cholesky_with_escalating_damping(schur)
+    schur_factor, damping_tries, damping_mu = _cholesky_with_escalating_damping(
+        schur
+    )
     x_corner = cholesky_solve(schur_factor, corner_rhs[:, None])[:, 0]
 
     # 5. Back-substitute: x_s = D^-1 b_s - W x_c.
@@ -254,5 +261,5 @@ def solve_block_sparse_arrowhead(
 
     x = jnp.concatenate([x_stem.reshape(-1), x_corner])
     if return_diagnostics:
-        return x, damping_tries
+        return x, damping_tries, damping_mu
     return x

@@ -107,7 +107,7 @@ def distributed_fit_step(
     ref_pts = shard_pixel_rows(reference_points, mesh)
     ref_mask = shard_pixel_rows(reference_mask, mesh)
 
-    new_field, data_loss, arap_loss, valid_solve, _max_update = _gauss_newton_step(
+    new_field, data_loss, arap_loss, valid_solve, _max_update, _cap_kept = _gauss_newton_step(
         field_r,
         args_r[0],
         args_r[1],

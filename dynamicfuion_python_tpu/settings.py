@@ -117,10 +117,23 @@ class AlignmentConfig:
     lump_data_hessian: bool = True
     # valid-solve guard: physical per-iteration limits + solve-residual
     # conditioning tolerance (see FitterConfig.valid_solve_*);
-    # translation limit 0 -> 2 * graph.node_coverage
+    # translation limit 0 -> max(4 * graph.node_coverage, 0.4 m)
     valid_solve_rotation_limit: float = 0.5
     valid_solve_translation_limit: float = 0.0
     valid_solve_residual_tolerance: float = 2.0
+    # strict tolerance applied when the arrowhead solver's escalating
+    # damping fired (the solve must accurately reproduce the DAMPED system
+    # it factorized; see FitterConfig.valid_solve_escalated_residual_*)
+    valid_solve_escalated_residual_tolerance: float = 0.35
+    # data-term implementation: "face" (face-major tables + covered-pixel
+    # compaction, the TPU production default), "fast" (pixel-major
+    # analytic), "autodiff" (vmapped-jacrev oracle) — all parity-pinned in
+    # tests/test_fitter.py
+    data_term_impl: str = "face"
+    # covered-pixel compaction fraction for the "face" data term (0
+    # disables; pixels beyond ceil(H*W*fraction) covered ones are dropped
+    # from the normal equations)
+    pixel_compaction_fraction: float = 0.6
 
 
 @config_node

@@ -15,6 +15,29 @@ from pathlib import Path
 import numpy as np
 
 
+def _materialize_metrics(frames: list) -> list:
+    """Convert any device-resident arrays in recorded frame metrics into
+    plain Python scalars/lists (one batched device_get per frame entry)."""
+
+    def to_py(v):
+        if isinstance(v, (list, tuple)):
+            return [to_py(x) for x in v]
+        if isinstance(v, dict):
+            return {k: to_py(x) for k, x in v.items()}
+        if isinstance(v, np.generic):
+            return v.item()
+        if (
+            isinstance(v, np.ndarray)
+            or hasattr(v, "__jax_array__")
+            or type(v).__module__.startswith("jax")
+        ):
+            arr = np.asarray(v)
+            return arr.item() if arr.ndim == 0 else arr.tolist()
+        return v
+
+    return [to_py(entry) for entry in frames]
+
+
 def write_ply_triangle_soup(path: str | Path, triangles: np.ndarray) -> None:
     """Write a triangle soup f32[T, 3, 3] as a binary-little-endian PLY."""
     tris = np.asarray(triangles, np.float32)
@@ -173,6 +196,12 @@ class TelemetryRecorder:
     def finish(self) -> dict:
         total = time.perf_counter() - self._start_time
         fps = len(self.frame_metrics) / total if total > 0 else 0.0
+        # streaming pipelines (fusion.sync_frame_metrics=false) record
+        # device-resident jax arrays per frame to keep the hot loop free of
+        # host syncs; drain them all HERE, once, so json.dumps below never
+        # sees a jax array (ADVICE r4 #2: it raised TypeError at end of run
+        # and lost every metric)
+        self.frame_metrics = _materialize_metrics(self.frame_metrics)
         summary = {
             "total_runtime_s": total,
             "frames_per_second": fps,

@@ -53,7 +53,7 @@ def main():
     local_pts = np.asarray(ref_pts)[lo:hi]
     local_mask = np.asarray(ref_mask)[lo:hi]
 
-    new_field, data_loss, arap_loss, _valid, _max_upd = distributed.distributed_fit_step_global(
+    new_field, data_loss, arap_loss, _valid, _max_upd, _cap_kept = distributed.distributed_fit_step_global(
         field,
         verts,
         tris,

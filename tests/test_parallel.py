@@ -30,7 +30,7 @@ class TestDistributedFit:
         pre = precompute_face_associations(field, verts, tris)
         normals = mesh_vertex_normals(verts, tris)
         max_deg = max(1, min(4, field.layer_node_counts[1]))
-        single, d_single, a_single, _, _ = _gauss_newton_step(
+        single, d_single, a_single, _, _, _ = _gauss_newton_step(
             field, verts, tris, normals, pre, ref_pts, ref_mask, intr,
             config, IterationMode.ALL, max_deg,
         )
@@ -56,6 +56,77 @@ class TestDistributedFit:
         out = capsys.readouterr().out
         assert "dryrun_multichip(8)" in out
         assert "integrated voxels=" in out
+        assert "parity max|dt| vs single-device oracle=" in out
+
+    def test_face_data_term_sharded_bit_parity(self):
+        """Regression for the round-4 multi-chip corruption: the face-major
+        data term packs int ids into float table rows; GSPMD's shard
+        masking arithmetic flushes DENORMAL floats to zero, so unbiased
+        bitcast ids (tiny ints -> denormals) came out 0 on sharded runs and
+        the assembled H/g silently vanished. The packed ids are now biased
+        into the normal-float range; sharded assembly must be bit-exact."""
+        import jax.numpy as jnp
+
+        from __graft_entry__ import _tiny_problem
+        from dynamicfuion_python_tpu.models.fitter import (
+            FitterConfig,
+            _data_term_face,
+            _warp_vertices,
+            precompute_face_associations,
+        )
+        from dynamicfuion_python_tpu.ops.normals import mesh_vertex_normals
+        from dynamicfuion_python_tpu.ops.rasterize import (
+            extract_face_vertices,
+            rasterize_splat,
+        )
+        from dynamicfuion_python_tpu.parallel.spmd import (
+            fusion_mesh,
+            shard_pixel_rows,
+        )
+
+        field, verts, tris, ref_pts, ref_mask, intr = _tiny_problem(
+            image_size=(64, 32)
+        )
+        h, w = ref_mask.shape
+        pre = precompute_face_associations(field, verts, tris)
+        normals = mesh_vertex_normals(verts, tris)
+        pos_v = field.virtual_positions()
+        rot_v = field.virtual_rotations()
+        trans_v = field.virtual_translations()
+
+        def make_frag():
+            wv = _warp_vertices(
+                verts, pos_v, rot_v, trans_v, pre.anchors, pre.weights
+            )
+            fv, vf = extract_face_vertices(
+                wv, tris, intr, (h, w), near=1e-3, far=10.0
+            )
+            frag = rasterize_splat(
+                fv, vf, (h, w), faces_per_pixel=1,
+                perspective_correct=True, cull_back_faces=False,
+            )
+            return frag.face_indices[..., 0]
+
+        frag_faces = jax.jit(make_frag)()
+        config = FitterConfig(pixel_compaction_fraction=0.6)
+
+        def term(rp, rm, ff):
+            return _data_term_face(
+                pos_v, rot_v, trans_v, verts, normals, tris, pre, ff,
+                rp, rm, intr, config, field.num_nodes,
+            )
+
+        f = jax.jit(term)
+        h1, g1, l1 = f(ref_pts, ref_mask, frag_faces)
+        mesh = fusion_mesh(8)
+        h2, g2, l2 = f(
+            shard_pixel_rows(ref_pts, mesh),
+            shard_pixel_rows(ref_mask, mesh),
+            shard_pixel_rows(frag_faces, mesh),
+        )
+        np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
+        np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))
+        np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
 
     def test_entry_compiles(self):
         from __graft_entry__ import entry
@@ -93,7 +164,7 @@ class TestMultiHost:
         config = FitterConfig(max_iterations=1, use_regularization=True)
         pre = precompute_face_associations(field, verts, tris)
         normals = mesh_vertex_normals(verts, tris)
-        single, d_single, _, _, _ = _gauss_newton_step(
+        single, d_single, _, _, _, _ = _gauss_newton_step(
             field, verts, tris, normals, pre, ref_pts, ref_mask, intr,
             config, IterationMode.ALL, _max_wing_degree(field),
         )
