@@ -125,10 +125,37 @@ def run(
 
         arg = soup
     elif method == "splat-indexed":
+        # reference-parity config: start from the INDEXED mesh each frame
+        # (cpp/tests/test_rasterize.cpp:362-373 feeds
+        # GetMeshNdcFaceVerticesAndClipMask an indexed TriangleMesh). The
+        # vertices[faces] expansion is the Pallas sorted-window kernel —
+        # XLA's gather is per-row-bound at ~160M rows/s (69 ms for this
+        # scene) regardless of locality. Fragment ids are remapped back to
+        # the caller's face numbering inside the timed region.
+        from dynamicfuion_python_tpu.ops.pallas.mesh_expand import (
+            ExpansionPlan,
+            rasterize_indexed,
+        )
+
+        plan = ExpansionPlan(faces_np, len(verts_np))
+        print(
+            f"expansion plan: {plan.num_chunks} chunks, window "
+            f"{plan.window16 * 16} vertices",
+            file=sys.stderr,
+        )
 
         def full(verts):
-            fv, valid = extract_face_vertices(verts, faces, intr, (h, w))
-            return rasterize_splat(fv, valid, (h, w), **splat_kwargs)
+            return rasterize_indexed(
+                verts,
+                plan,
+                intr,
+                (h, w),
+                faces_per_pixel=faces_per_pixel,
+                quad_cap=splat_kwargs["quad_cap"],
+                hex_cap=splat_kwargs["hex_cap"],
+                oct_cap=splat_kwargs["oct_cap"],
+                max_large_faces=max_large_faces,
+            )
 
         arg = verts
     else:
@@ -146,7 +173,11 @@ def run(
 
         arg = verts
 
-    jfull = jax.jit(full)
+    # splat-indexed orchestrates pre-jitted stages and must NOT be wrapped
+    # in an outer jit: that would turn the expansion plan's device tables
+    # into jaxpr constants, which XLA re-materializes per execution
+    # (~600x the kernel cost; see ops/pallas/mesh_expand.py)
+    jfull = full if method == "splat-indexed" else jax.jit(full)
     t0 = time.perf_counter()
     out = jax.block_until_ready(jfull(arg))
     compile_s = time.perf_counter() - t0
@@ -166,10 +197,20 @@ def run(
         file=sys.stderr,
     )
 
+    # chained-dispatch protocol: each iteration's input depends on the
+    # previous iteration's fragments, and the final device_get is the only
+    # sync. block_until_ready does not reliably wait on the tunnel-attached
+    # platform and un-chained loops under-measure multi-program pipelines.
+    def chain_scalar(o):
+        frag_c = o[0] if method.startswith("splat") else o
+        return frag_c.depths[0, 0, 0] * 1e-38
+
+    s = jnp.float32(0.0)
+    _ = jax.device_get(chain_scalar(jfull(arg + s)))
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = jfull(arg)
-    jax.block_until_ready(out)
+        s = chain_scalar(jfull(arg + s))
+    _ = jax.device_get(s)
     dt_ms = (time.perf_counter() - t0) / iters * 1e3
     return dt_ms, covered
 
