@@ -111,6 +111,9 @@ class FusionPipeline:
         # FIRST_TO_CURRENT never rolls the keyframe; PREVIOUS_TO_CURRENT
         # rolls every frame; KEYFRAME_TO_CURRENT every keyframe_interval.
         self.prior = None
+        # SPMD frame loop (enable_spmd): device mesh the whole per-frame
+        # program runs over, or None for single-device
+        self.spmd_mesh = None
         self.keyframe_source: tuple | None = None  # (depth, color) numpy
         self.keyframe_rotations: jnp.ndarray | None = None  # [N, 3, 3]
         self.keyframe_translations: jnp.ndarray | None = None  # [N, 3]
@@ -574,6 +577,50 @@ class FusionPipeline:
 
     # -- subsequent frames ---------------------------------------------------
 
+    def enable_spmd(self, mesh) -> None:
+        """Run the WHOLE frame loop over a device mesh (SURVEY §5.8 /
+        VERDICT r4 #8: the structural prerequisite for the multi-chip
+        throughput claim — previously only the fit step and the non-rigid
+        integrate had a multi-device path).
+
+        Placement (per-stage, by data axis):
+          - observed frame (depth/color and everything derived: odometry
+            pyramid, observed points, data-term pixel stages) shards by
+            PIXEL ROWS — the embarrassingly-parallel axis;
+          - TSDF block table shards by SLOT (integration parallelism);
+          - warp-field state, intrinsics/extrinsics, and the canonical
+            mesh stay REPLICATED: they are small, every shard reads them,
+            and the GN normal-equation assembly reduces onto them via the
+            collectives GSPMD inserts (the fit's H/g all-reduce);
+          - mesh refresh (marching cubes) reads the sharded block table
+            and produces the replicated canonical mesh — extraction
+            compaction is a global sort, which GSPMD executes with
+            all-gathers; keeping the (small, capacity-bounded) mesh
+            replicated avoids resharding the fit's inputs every frame;
+          - odometry and the neural prior consume sharded pixel rows and
+            reduce to tiny replicated states (a pose delta / node
+            transforms).
+
+        Call after ``initialize()``; sharding then persists through the
+        jitted per-frame programs via GSPMD propagation."""
+        from dynamicfuion_python_tpu.parallel.spmd import (
+            replicate,
+            shard_blocks,
+        )
+
+        self.spmd_mesh = mesh
+        self.volume = shard_blocks(self.volume, mesh)
+        self.warp_field = replicate(self.warp_field, mesh)
+        if self.previous_depth is not None:
+            self.previous_depth = self._shard_frame(self.previous_depth)
+
+    def _shard_frame(self, image: jnp.ndarray) -> jnp.ndarray:
+        if self.spmd_mesh is None:
+            return image
+        from dynamicfuion_python_tpu.parallel.spmd import shard_pixel_rows
+
+        return shard_pixel_rows(image, self.spmd_mesh)
+
     def process_frame(
         self,
         depth: np.ndarray,
@@ -582,7 +629,7 @@ class FusionPipeline:
     ) -> dict:
         p = self.params
         self.frames_processed += 1
-        depth_j = jnp.asarray(depth)
+        depth_j = self._shard_frame(jnp.asarray(depth))
 
         # RIGID stage: frame-to-frame point-to-plane ICP accumulates the
         # camera pose; observations are expressed in the canonical camera
@@ -650,7 +697,9 @@ class FusionPipeline:
             self.volume,
             self.warp_field,
             depth_j,
-            jnp.asarray(color) if color is not None else depth_j,
+            self._shard_frame(jnp.asarray(color))
+            if color is not None
+            else depth_j,
             self.intrinsics,
             ext,
             frame_valid,
