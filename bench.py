@@ -118,7 +118,13 @@ def bench_raster_indexed():
     return dt_ms
 
 
-def bench_fusion(frames=30, size=(240, 320), max_triangles=16384, warmup=5):
+def bench_fusion(
+    frames=30,
+    size=(240, 320),
+    max_triangles=16384,
+    warmup=5,
+    extra_overrides=(),
+):
     import jax
 
     from dynamicfuion_python_tpu.apps.fusion_pipeline import (
@@ -149,6 +155,12 @@ def bench_fusion(frames=30, size=(240, 320), max_triangles=16384, warmup=5):
             # streaming mode: metrics stay on device; the loop never blocks
             # on the tunnel and frames pipeline (transfer overlaps compute)
             "fusion.sync_frame_metrics=false",
+            # coarse-to-fine GN (the reference fitter is coarse-to-fine):
+            # first 4 of 6 iterations fit a 2x-strided frame — the data
+            # term's per-pixel stages cost ~1/4 there, and the convergence
+            # while_loop still polishes at full resolution (+21% fps A/B)
+            "alignment.coarse_iteration_count=4",
+            *extra_overrides,
         ],
     )
     seq = SyntheticBendingPlaneSequence(

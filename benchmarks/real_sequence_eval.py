@@ -186,10 +186,13 @@ def evaluate_sequence(
         init_s=round(init_s, 1),
         fusion_s=round(fps_window, 2),
         per_frame=per_frame,
+        # fraction of valid GN iterations over the whole run (the reference
+        # counts per-solve validity, point_cloud_alignment_optimizer.py:219;
+        # a frame-level all() would zero on one benign escalated iteration)
         valid_ratio=float(
             np.mean(
                 [
-                    all(r["valid_solve"])
+                    np.mean(r["valid_solve"])
                     for r in per_frame
                     if "valid_solve" in r
                 ]

@@ -144,6 +144,8 @@ class FusionPipeline:
             ),
             data_term_impl=a.data_term_impl,
             pixel_compaction_fraction=a.pixel_compaction_fraction,
+            coarse_iterations=a.coarse_iteration_count,
+            coarse_factor=a.coarse_factor,
         )
 
     # -- first frame ---------------------------------------------------------

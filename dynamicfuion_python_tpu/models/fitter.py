@@ -92,6 +92,13 @@ class FitterConfig:
     min_update_threshold: float = flax.struct.field(
         pytree_node=False, default=1e-6
     )
+    # coarse-to-fine: first ``coarse_iterations`` GN iterations fit a
+    # ``coarse_factor``-strided observed frame (the reference fitter is
+    # explicitly coarse-to-fine, README.md:17-31); per-pixel data-term
+    # stages cost ~1/factor^2 there. 0 runs everything at full resolution.
+    # Only applies to single-mode ``iteration_modes`` schedules.
+    coarse_iterations: int = flax.struct.field(pytree_node=False, default=0)
+    coarse_factor: int = flax.struct.field(pytree_node=False, default=2)
     max_depth: float = flax.struct.field(pytree_node=False, default=10.0)
     use_regularization: bool = flax.struct.field(pytree_node=False, default=True)
     max_faces_per_bin: int = flax.struct.field(pytree_node=False, default=256)
@@ -925,29 +932,60 @@ def _fit_program(
         else:
             runs.append((mode, 1))
 
-    def step(fld, mode):
+    # coarse-to-fine: the reference's fitter is explicitly coarse-to-fine
+    # (README.md:17-31); here the first ``coarse_iterations`` GN iterations
+    # fit against a ``coarse_factor``-strided observed frame — the data
+    # term's per-pixel stages (rasterize, face tables, compaction, chain
+    # rule, one-hot assembly) cost ~1/factor^2, while the ARAP/solve stages
+    # are unchanged. The remaining iterations polish at full resolution.
+    # Applied only to single-mode schedules (a mixed mode+resolution
+    # schedule would multiply compiled step variants for little benefit).
+    f = max(1, config.coarse_factor)
+    cc = 0
+    if config.coarse_iterations > 0 and f > 1 and len(runs) == 1:
+        cc = min(config.coarse_iterations, config.max_iterations)
+    # strided view == sampling original pixels (0, f, 2f, ...): the pinhole
+    # map u' = u/f = (x/z) * (fx/f) + cx/f, so rows 0..1 of K scale by 1/f
+    segments: list[tuple[IterationMode, int, tuple]] = []
+    full_views = (reference_points, reference_mask, intrinsics)
+    if cc:
+        coarse_views = (
+            reference_points[::f, ::f],
+            reference_mask[::f, ::f],
+            intrinsics.at[:2, :].mul(1.0 / f),
+        )
+        mode = runs[0][0]
+        segments.append((mode, cc, coarse_views))
+        if config.max_iterations - cc > 0:
+            segments.append((mode, config.max_iterations - cc, full_views))
+    else:
+        segments = [(mode, count, full_views) for mode, count in runs]
+
+    def step(fld, mode, views):
+        rp, rm, intr = views
         return _gauss_newton_step_impl(
             fld,
             canonical_vertices,
             canonical_triangles,
             canonical_normals,
             pre,
-            reference_points,
-            reference_mask,
-            intrinsics,
+            rp,
+            rm,
+            intr,
             config,
             mode,
             max_deg,
         )
 
-    if len(runs) == 1 and config.min_update_threshold > 0:
-        # single-mode schedule (the default): convergence-driven
-        # ``lax.while_loop`` — stop as soon as the update stalls, exactly
-        # the reference's ``while iter < max && max_update > threshold``
+    use_while = len(runs) == 1 and config.min_update_threshold > 0
+    n_nodes = field.num_nodes
+
+    def run_while_segment(fld, mode, count, views):
+        # convergence-driven ``lax.while_loop`` — stop as soon as the
+        # update stalls, exactly the reference's
+        # ``while iter < max && max_update > threshold``
         # (``DeformableMeshToImageFitter.cpp:111``). Converged frames pay
         # for the iterations they use, not the configured maximum.
-        mode, count = runs[0]
-        n_nodes = field.num_nodes
         dl_a = jnp.zeros((count,), jnp.float32)
         al_a = jnp.zeros((count,), jnp.float32)
         tr_a = jnp.zeros((count, n_nodes, 3), jnp.float32)
@@ -960,7 +998,7 @@ def _fit_program(
 
         def body(carry):
             fld, i, _, (dl, al, tr, vs, ck) = carry
-            new_field, d, a, valid, max_upd, kept = step(fld, mode)
+            new_field, d, a, valid, max_upd, kept = step(fld, mode, views)
             out = (
                 dl.at[i].set(d),
                 al.at[i].set(a),
@@ -970,11 +1008,11 @@ def _fit_program(
             )
             return new_field, i + 1, max_upd, out
 
-        field, n_done, _, (dl_a, al_a, tr_a, vs_a, ck_a) = jax.lax.while_loop(
+        fld, n_done, _, (dl_a, al_a, tr_a, vs_a, ck_a) = jax.lax.while_loop(
             cond,
             body,
             (
-                field,
+                fld,
                 jnp.int32(0),
                 jnp.float32(jnp.inf),
                 (dl_a, al_a, tr_a, vs_a, ck_a),
@@ -983,18 +1021,12 @@ def _fit_program(
         # unexecuted tail slots repeat the last executed iteration so the
         # ``[-1]`` diagnostics contract (final loss / final validity) holds
         idx = jnp.minimum(jnp.arange(count), jnp.maximum(n_done - 1, 0))
-        return field, dl_a[idx], al_a[idx], tr_a[idx], vs_a[idx], ck_a[idx]
+        return fld, (dl_a[idx], al_a[idx], tr_a[idx], vs_a[idx], ck_a[idx])
 
-    data_losses = []
-    arap_losses = []
-    translations_per_iteration = []
-    valid_solves = []
-    cap_kepts = []
-    for mode, count in runs:
-
+    def run_scan_segment(fld, mode, count, views):
         def body(carry, _, _mode=mode):
             new_field, data_loss, arap_loss, valid, _max_upd, kept = step(
-                carry, _mode
+                carry, _mode, views
             )
             return new_field, (
                 data_loss,
@@ -1004,9 +1036,19 @@ def _fit_program(
                 kept,
             )
 
-        field, (dl, al, tr, vs, ck) = jax.lax.scan(
-            body, field, None, length=count
+        fld, (dl, al, tr, vs, ck) = jax.lax.scan(
+            body, fld, None, length=count
         )
+        return fld, (dl, al, tr, vs, ck)
+
+    data_losses = []
+    arap_losses = []
+    translations_per_iteration = []
+    valid_solves = []
+    cap_kepts = []
+    for mode, count, views in segments:
+        runner = run_while_segment if use_while else run_scan_segment
+        field, (dl, al, tr, vs, ck) = runner(field, mode, count, views)
         data_losses.append(dl)
         arap_losses.append(al)
         translations_per_iteration.append(tr)

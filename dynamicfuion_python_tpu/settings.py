@@ -134,6 +134,12 @@ class AlignmentConfig:
     # disables; pixels beyond ceil(H*W*fraction) covered ones are dropped
     # from the normal equations)
     pixel_compaction_fraction: float = 0.6
+    # coarse-to-fine GN schedule (the reference fitter is explicitly
+    # coarse-to-fine): the first ``coarse_iteration_count`` iterations fit a
+    # ``coarse_factor``-strided observed frame, the rest polish at full
+    # resolution. 0 disables; only applies to single-mode iteration_modes
+    coarse_iteration_count: int = 0
+    coarse_factor: int = 2
 
 
 @config_node

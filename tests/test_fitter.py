@@ -705,3 +705,72 @@ class TestArrowheadResidualGuard:
             / jnp.linalg.norm(rhs)
         )
         assert rel < 1e-3
+
+
+class TestCoarseToFine:
+    """Coarse-to-fine GN schedule (reference README.md:17-31: the fitter is
+    explicitly coarse-to-fine): early iterations fit a strided observed
+    frame, later ones polish at full resolution."""
+
+    def _problem(self):
+        verts, tris = _plane_mesh()
+        field = _field_over_mesh(verts)
+        gt_t = jnp.asarray([0.01, -0.008, 0.02], jnp.float32)
+        ref_pts, ref_mask = _observed_points_from_transform(
+            verts, tris, jnp.eye(3), gt_t
+        )
+        return field, verts, tris, ref_pts, ref_mask, gt_t
+
+    def test_recovers_translation_with_coarse_prefix(self):
+        field, verts, tris, ref_pts, ref_mask, gt_t = self._problem()
+        cfg = FitterConfig(
+            max_iterations=8,
+            coarse_iterations=4,
+            coarse_factor=2,
+            iteration_modes=(IterationMode.TRANSLATION_ONLY,),
+            use_regularization=False,
+        )
+        fitted, diag = fit_to_image(
+            field, verts, tris, ref_pts, ref_mask, INTR, cfg
+        )
+        t = np.asarray(fitted.node_translations)
+        np.testing.assert_allclose(t[:, 2], float(gt_t[2]), atol=2e-3)
+        assert len(diag["data_loss"]) == 8
+        assert float(diag["data_loss"][-1]) < float(diag["data_loss"][0])
+
+    def test_final_quality_matches_full_resolution(self):
+        field, verts, tris, ref_pts, ref_mask, _ = self._problem()
+        base = FitterConfig(max_iterations=6, use_regularization=False)
+        c2f = base.replace(coarse_iterations=3, coarse_factor=2)
+        _, d_full = fit_to_image(field, verts, tris, ref_pts, ref_mask, INTR, base)
+        _, d_c2f = fit_to_image(field, verts, tris, ref_pts, ref_mask, INTR, c2f)
+        # the fine tail re-converges against the full-res frame: final loss
+        # must land within 2x of the all-full-res schedule's final loss
+        lf = float(d_full["data_loss"][-1])
+        lc = float(d_c2f["data_loss"][-1])
+        assert lc < 2.0 * lf + 1e-8, (lc, lf)
+
+    def test_scan_path_supports_coarse_prefix(self):
+        field, verts, tris, ref_pts, ref_mask, _ = self._problem()
+        cfg = FitterConfig(
+            max_iterations=4,
+            min_update_threshold=0.0,  # fixed-length scan path
+            coarse_iterations=2,
+            use_regularization=False,
+        )
+        _, diag = fit_to_image(field, verts, tris, ref_pts, ref_mask, INTR, cfg)
+        dl = np.asarray(diag["data_loss"])
+        assert len(dl) == 4
+        assert dl[-1] < dl[0]
+
+    def test_all_coarse_schedule(self):
+        field, verts, tris, ref_pts, ref_mask, _ = self._problem()
+        cfg = FitterConfig(
+            max_iterations=4,
+            coarse_iterations=8,  # clamped to max_iterations
+            use_regularization=False,
+        )
+        _, diag = fit_to_image(field, verts, tris, ref_pts, ref_mask, INTR, cfg)
+        dl = np.asarray(diag["data_loss"])
+        assert len(dl) == 4
+        assert dl[-1] < dl[0]
