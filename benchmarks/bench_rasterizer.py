@@ -140,7 +140,7 @@ def run(
         plan = ExpansionPlan(faces_np, len(verts_np))
         print(
             f"expansion plan: {plan.num_chunks} chunks, window "
-            f"{plan.window16 * 16} vertices",
+            f"{plan.window_groups * 128} vertices",
             file=sys.stderr,
         )
 

@@ -165,6 +165,24 @@ class FusionPipeline:
 
         p = self.params
         depth_j = jnp.asarray(depth)
+        # loaded-graph mode: integrate only the graph's coverage region
+        # (the reference's graph blobs come from a masked subject — see
+        # _crop_depth_to_coverage_program). The crop is a no-op when the
+        # graph covers the whole frame (synthetic scenes).
+        if (
+            p.fusion.graph_generation_mode
+            == GraphGenerationMode.FIRST_FRAME_LOADED_GRAPH
+            and frame_graph is not None
+            and p.fusion.crop_to_graph_coverage
+        ):
+            depth_j = _crop_depth_to_coverage_program(
+                depth_j,
+                jnp.asarray(frame_graph["nodes"], jnp.float32),
+                self.intrinsics,
+                p.fusion.depth_scale,
+                p.fusion.far_clip_distance,
+                2.0 * p.graph.node_coverage,
+            )
         keys = self.volume.compute_unique_block_coordinates(
             depth_j, self.intrinsics, stride=2
         )
@@ -861,6 +879,49 @@ def _load_prior_network(checkpoint_path: str, num_nodes: int):
     return net, flax.serialization.msgpack_restore(
         Path(checkpoint_path).read_bytes()
     )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("depth_scale", "far_clip")
+)
+def _crop_depth_to_coverage_program(
+    depth, nodes, intrinsics, depth_scale: float, far_clip: float, radius
+):
+    """Zero depth pixels farther than ``radius`` from every graph node.
+
+    The reference's loaded-graph fusion integrates a MASKED subject (its
+    graph blobs are built from a salient-object crop,
+    ``apps/create_graph_data.py`` + ``data/frame.py`` mask handling); with
+    only the node blobs shipped, the nodes' own coverage region IS that
+    mask. Without the crop, the canonical volume integrates the whole
+    frame: background surfaces anchor to distant subject nodes (weights ~0
+    but lever arms large), the triangle-extraction budget is spent off the
+    subject, and occlusion-mismatched background pixels feed wrong
+    associations to the fitter — measured on seq017 to diverge the fit
+    (node |t| ~0.2 m on a ~15 mm true motion)."""
+    points, mask = unproject_depth_image(
+        depth, intrinsics, depth_scale, far_clip
+    )
+    flat = points.reshape(-1, 3)
+    chunk = 128
+    n = nodes.shape[0]
+    n_pad = -(-n // chunk) * chunk
+    nodes_p = jnp.concatenate(
+        [nodes, jnp.full((n_pad - n, 3), 1e9, nodes.dtype)], axis=0
+    ).reshape(-1, chunk, 3)
+
+    def body(best, nd):
+        d2 = jnp.min(
+            jnp.sum((flat[:, None, :] - nd[None, :, :]) ** 2, axis=-1),
+            axis=1,
+        )
+        return jnp.minimum(best, d2), None
+
+    min_d2, _ = jax.lax.scan(
+        body, jnp.full((flat.shape[0],), jnp.inf, jnp.float32), nodes_p
+    )
+    keep = mask & (min_d2.reshape(depth.shape) <= radius * radius)
+    return jnp.where(keep, depth, 0).astype(depth.dtype)
 
 
 @functools.partial(

@@ -160,6 +160,11 @@ class FusionConfig:
     start_at_frame: int = 0
     run_until_frame: int = -1
     extraction_max_triangles: int = 400000
+    # loaded-graph mode only: crop the first-frame integration to within
+    # 2 * graph.node_coverage of the loaded nodes (the reference's graph
+    # blobs come from a masked salient subject; the node coverage region is
+    # that mask's proxy). No effect in the other graph-generation modes
+    crop_to_graph_coverage: bool = True
     # pre-size the canonical-mesh capacity buckets (power-of-two) so the
     # fit/extraction programs compile ONCE instead of recompiling as the
     # surface grows; 0 = adapt from 4096 upward (each growth recompiles)

@@ -482,3 +482,66 @@ class TestReferenceMathSwitches:
 
         with pytest.raises(ValueError, match="ROTATOIN"):
             _parse_iteration_modes("all,rotatoin")
+
+
+class TestGraphCoverageCrop:
+    """Loaded-graph mode integrates only the graph's coverage region (the
+    reference's graph blobs come from a masked salient subject; background
+    surfaces anchored to distant subject nodes diverge the fit — measured
+    on seq017)."""
+
+    def _depth_scene(self):
+        # near subject square (z=1.0 m) over a far background (z=1.8 m,
+        # inside the 2.0 m far clip)
+        depth = np.full((96, 128), 1800, np.uint16)
+        depth[24:72, 40:88] = 1000
+        intr = np.asarray(
+            [[160.0, 0, 64.0], [0, 160.0, 48.0], [0, 0, 1.0]], np.float32
+        )
+        nodes = np.asarray(
+            [[x, y, 1.0] for x in (-0.12, 0.0, 0.12) for y in (-0.12, 0.0, 0.12)],
+            np.float32,
+        )
+        return depth, intr, {"nodes": nodes}
+
+    def test_crop_excludes_background(self, params):
+        from dynamicfuion_python_tpu.utils.config import apply_overrides
+        from dynamicfuion_python_tpu.apps.fusion_pipeline import FusionPipeline
+
+        depth, intr, graph = self._depth_scene()
+        p2 = apply_overrides(
+            params,
+            ["fusion.graph_generation_mode=FIRST_FRAME_LOADED_GRAPH"],
+        )
+        pipe = FusionPipeline(p2, intr)
+        pipe.initialize(depth, None, frame_graph=graph)
+        verts = np.asarray(pipe.canonical_vertices)
+        verts = verts[np.abs(verts).sum(axis=1) > 0]  # drop capacity padding
+        assert len(verts) > 0
+        # background surface (z=1.8) must NOT be integrated; subject is
+        assert verts[:, 2].max() < 1.5
+        d = np.linalg.norm(
+            verts[:, None, :] - graph["nodes"][None], axis=-1
+        ).min(axis=1)
+        # every surface vertex lies in the graph coverage region (2x
+        # coverage radius + truncation/weld margin)
+        assert d.max() <= 2 * 0.12 + 0.08
+
+    def test_crop_can_be_disabled(self, params):
+        from dynamicfuion_python_tpu.utils.config import apply_overrides
+        from dynamicfuion_python_tpu.apps.fusion_pipeline import FusionPipeline
+
+        depth, intr, graph = self._depth_scene()
+        p2 = apply_overrides(
+            params,
+            [
+                "fusion.graph_generation_mode=FIRST_FRAME_LOADED_GRAPH",
+                "fusion.crop_to_graph_coverage=false",
+            ],
+        )
+        pipe = FusionPipeline(p2, intr)
+        pipe.initialize(depth, None, frame_graph=graph)
+        verts = np.asarray(pipe.canonical_vertices)
+        verts = verts[np.abs(verts).sum(axis=1) > 0]
+        # without the crop the background IS integrated (legacy behavior)
+        assert verts[:, 2].max() > 1.5
