@@ -74,7 +74,13 @@ def evaluate_sequence(
     from dynamicfuion_python_tpu.settings import Parameters
     from dynamicfuion_python_tpu.utils.config import apply_overrides
 
-    seq = FrameSequenceDataset(seq_dir, far_clip_mm=int(far_clip * 1000))
+    # use the shipped subject masks when the sequence has them (the
+    # reference's frame loader applies them before fusion,
+    # data/frame.py mask_image_path) — background surfaces otherwise feed
+    # occlusion-mismatched associations to the fitter
+    seq = FrameSequenceDataset(
+        seq_dir, far_clip_mm=int(far_clip * 1000), use_mask=True
+    )
     frames = list(seq)
     graph = seq.get_frame_graph(0)
     mode = (
